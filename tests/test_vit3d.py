@@ -1,0 +1,92 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vsn_tpu.config import load_config
+from vsn_tpu.models.vit3d import VIT_CONFIGS, ViT3D, vit_from_config
+
+
+def tiny_vit(**kw):
+    base = dict(
+        img_size=(16, 16, 16),
+        patch_size=(8, 8, 8),
+        num_classes=3,
+        embed_dim=32,
+        depth=2,
+        num_heads=2,
+        mlp_dim=64,
+        dim_head=16,
+    )
+    base.update(kw)
+    return ViT3D(**base)
+
+
+def test_forward_shape_and_grad():
+    model = tiny_vit()
+    x = jnp.ones((2, 16, 16, 16, 1))
+    params = model.init(jax.random.key(0), x, True)
+    logits = model.apply(params, x, True)
+    assert logits.shape == (2, 3)
+    assert logits.dtype == jnp.float32
+
+    def loss(p):
+        return model.apply(p, x, True).sum()
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+@pytest.mark.parametrize("pool", ["cls", "mean"])
+def test_pooling_variants(pool):
+    model = tiny_vit(pool=pool)
+    x = jnp.ones((1, 16, 16, 16, 1))
+    params = model.init(jax.random.key(0), x, True)
+    assert model.apply(params, x, True).shape == (1, 3)
+
+
+def test_post_norm_and_layerscale_and_stable():
+    model = tiny_vit(
+        post_norm=True,
+        layer_scale=True,
+        layer_scale_init_value=0.1,
+        enable_stable=True,
+        stochastic_depth_prob=0.1,
+    )
+    x = jnp.ones((2, 16, 16, 16, 1))
+    params = model.init(jax.random.key(0), x, True)
+    out_det = model.apply(params, x, True)
+    assert out_det.shape == (2, 3)
+    out_train = model.apply(
+        params, x, False, rngs={"dropout": jax.random.key(1)}
+    )
+    assert np.all(np.isfinite(np.asarray(out_train)))
+
+
+def test_from_config_builds_vit_s():
+    from vsn_tpu.config import DEFAULT_CONFIG_PATH
+
+    cfg = load_config(DEFAULT_CONFIG_PATH.parent / "vit-3c-no_seed-baseline.yaml")
+    model = vit_from_config(cfg)
+    assert model.embed_dim == 384 and model.depth == 12 and model.num_heads == 6
+    assert model.img_size == (144, 160, 144)
+    assert model.num_classes == 3
+
+
+def test_preset_table():
+    assert VIT_CONFIGS["S"] == dict(depth=12, num_heads=6, embed_dim=384)
+    assert VIT_CONFIGS["H"]["embed_dim"] == 1280
+
+
+def test_param_count_vit_s_reasonable():
+    """ViT-S 3D on 144x160x144/16^3 should be ~28-32M params like the torch one."""
+    from vsn_tpu.config import DEFAULT_CONFIG_PATH
+
+    cfg = load_config(DEFAULT_CONFIG_PATH.parent / "vit-3c-no_seed-baseline.yaml")
+    model = vit_from_config(cfg)
+    x = jnp.ones((1, 144, 160, 144, 1), jnp.bfloat16)
+    params = jax.eval_shape(lambda: model.init(jax.random.key(0), x, True))
+    n = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))
+    assert 20e6 < n < 40e6, n
