@@ -1,0 +1,192 @@
+"""The jitted train/eval step.
+
+One ``train_step`` call consumes ``grad_accum`` micro-batches and performs one
+optimizer step — the functional equivalent of the reference's micro-batch loop
+(train/train_transformer.py:1111-1292):
+
+  * gradient accumulation is a ``lax.scan`` over the leading micro-batch axis
+    (the reference loops Python-side with DDP ``no_sync``; under a sharded jit
+    the cross-device grad psum is emitted by XLA once, after accumulation);
+  * globally-synced NaN guard: if the accumulated grads or loss are non-finite
+    the whole update is skipped via ``lax.cond`` — every device agrees because
+    the decision is computed on replicated values (reference 1139-1189);
+  * SAM is two accumulation passes over the *same* micro-batches: perturb by
+    rho*g/||g||, recompute grads, update the original params (reference
+    1191-1269 caches micro-batches host-side; here the batch is simply still
+    in HBM);
+  * optional global-norm clipping before the (first and second) SAM passes'
+    updates (reference 1198-1216, 1256-1284);
+  * EMA update after a successful optimizer step (reference 1294-1296);
+  * LR/WD are read from precomputed schedule tables indexed by the traced
+    step counter (reference 279-309).
+
+bf16 forward/backward with f32 params and f32 grad accumulation replaces the
+reference's fp16 + GradScaler; the scaler's NaN machinery reduces to the
+plain NaN-skip above.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vsn_tpu.train import optim
+from vsn_tpu.train.ema import EMAState, ema_init, ema_update
+from vsn_tpu.train.losses import label_smoothing_loss, smoothing_from_config
+
+
+class TrainState(NamedTuple):
+    params: object
+    opt: optim.AdamWState
+    step: jax.Array              # optimizer steps taken (int32)
+    skipped: jax.Array           # NaN-skipped steps (int32)
+    ema: Optional[EMAState]      # None when USE_EMA is off
+
+
+def init_train_state(cfg, params) -> TrainState:
+    ema = ema_init(params, int(cfg.EMA_N_MODELS)) if cfg.USE_EMA else None
+    return TrainState(
+        params=params,
+        opt=optim.adamw_init(params),
+        step=jnp.zeros((), jnp.int32),
+        skipped=jnp.zeros((), jnp.int32),
+        ema=ema,
+    )
+
+
+def make_loss_fn(model, cfg):
+    smoothing = smoothing_from_config(cfg)
+
+    def loss_fn(params, images, labels, rngs):
+        logits = model.apply(params, images, False, rngs=rngs)
+        loss = label_smoothing_loss(logits, labels, smoothing)
+        return loss, logits
+
+    return loss_fn
+
+
+def make_train_step(model, cfg, lr_table, wd_table):
+    """Build the train step: (state, batch, base_rng) -> (state, metrics).
+
+    ``batch`` is a dict with ``image`` [A, B, D, H, W, C] and ``label``
+    [A, B, K], A = gradient-accumulation factor. Under a mesh, axis 1 (B)
+    is sharded over 'data'; everything else is replicated.
+    """
+    loss_fn = make_loss_fn(model, cfg)
+    use_sam = bool(cfg.USE_SAM)
+    sam_rho = float(cfg.SAM_RHO)
+    sam_adaptive = bool(cfg.SAM_ADAPTIVE)
+    clip = cfg.get("GRADIENT_CLIP", False)
+    clip = float(clip) if clip else None
+    use_ema = bool(cfg.USE_EMA)
+    ema_decay = float(cfg.EMA_DECAY)
+    ema_n = int(cfg.EMA_N_MODELS)
+    lr_table = jnp.asarray(lr_table, jnp.float32)
+    wd_table = jnp.asarray(wd_table, jnp.float32)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def accumulate(params, batch, step_rng, pass_idx):
+        """Mean loss/grads over the micro-batch axis via scan."""
+        a = batch["image"].shape[0]
+
+        def body(carry, xs):
+            acc_loss, acc_grads = carry
+            images, labels, idx = xs
+            rng = jax.random.fold_in(step_rng, idx * 2 + pass_idx)
+            rngs = {
+                "dropout": jax.random.fold_in(rng, 0),
+                "shakedrop": jax.random.fold_in(rng, 1),
+            }
+            (loss, _), grads = grad_fn(params, images, labels, rngs)
+            acc_loss = acc_loss + loss
+            acc_grads = jax.tree.map(
+                lambda ag, g: ag + g.astype(jnp.float32), acc_grads, grads
+            )
+            return (acc_loss, acc_grads), None
+
+        zero_grads = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+        (tot_loss, tot_grads), _ = jax.lax.scan(
+            body,
+            (jnp.zeros((), jnp.float32), zero_grads),
+            (batch["image"], batch["label"], jnp.arange(a)),
+        )
+        inv = 1.0 / a
+        return tot_loss * inv, optim.tree_scale(tot_grads, inv)
+
+    def train_step(state: TrainState, batch, base_rng):
+        step = state.step
+        lr = lr_table[jnp.minimum(step, lr_table.shape[0] - 1)]
+        wd = wd_table[jnp.minimum(step, wd_table.shape[0] - 1)]
+        step_rng = jax.random.fold_in(base_rng, step)
+
+        loss, grads = accumulate(state.params, batch, step_rng, 0)
+        finite = optim.all_finite(grads) & jnp.isfinite(loss)
+
+        if clip is not None:
+            grads, grad_norm = optim.clip_by_global_norm(grads, clip)
+        else:
+            grad_norm = optim.global_norm(grads)
+
+        if use_sam:
+            e_w, _ = optim.sam_perturbation(
+                state.params, grads, sam_rho, sam_adaptive
+            )
+            params_adv = optim.tree_add(state.params, e_w)
+            loss2, grads2 = accumulate(params_adv, batch, step_rng, 1)
+            finite = finite & optim.all_finite(grads2) & jnp.isfinite(loss2)
+            if clip is not None:
+                grads2, _ = optim.clip_by_global_norm(grads2, clip)
+            update_grads = grads2
+        else:
+            update_grads = grads
+
+        def do_update(operand):
+            params, opt, ema = operand
+            new_params, new_opt = optim.adamw_update(
+                update_grads, opt, params, lr, wd
+            )
+            if use_ema:
+                ema = ema_update(ema, new_params, ema_decay, ema_n)
+            return new_params, new_opt, ema, jnp.int32(0)
+
+        def skip_update(operand):
+            params, opt, ema = operand
+            return params, opt, ema, jnp.int32(1)
+
+        new_params, new_opt, new_ema, was_skipped = jax.lax.cond(
+            finite, do_update, skip_update, (state.params, state.opt, state.ema)
+        )
+
+        new_state = TrainState(
+            params=new_params,
+            opt=new_opt,
+            step=step + 1,
+            skipped=state.skipped + was_skipped,
+            ema=new_ema,
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "lr": lr,
+            "wd": wd,
+            "skipped": was_skipped,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model):
+    """(params, images) -> probs [B, K] (deterministic forward + softmax)."""
+
+    def eval_step(params, images):
+        logits = model.apply(params, images, True)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    return eval_step
