@@ -68,14 +68,42 @@ def make_loss_fn(model, cfg):
     return loss_fn
 
 
-def make_train_step(model, cfg, lr_table, wd_table):
+def make_batch_transform(cfg):
+    """Per-micro-batch device transform: MixUp/CutMix then augmentation.
+
+    The reference applies the MONAI transform after mixing
+    (dataset/dataset.py:288-291); same order here, all fused on device.
+    """
+    from vsn_tpu.data.augment import build_train_augment
+    from vsn_tpu.data.mixers import build_mix_fn
+
+    mix_fn = build_mix_fn(cfg)
+    aug_fn = build_train_augment(cfg)
+
+    def transform(micro: dict, rng):
+        if mix_fn is not None:
+            images, labels = mix_fn(micro)
+        else:
+            images, labels = micro["image"], micro["label"]
+        images = aug_fn(images, rng)
+        return images, labels
+
+    return transform
+
+
+def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
     """Build the train step: (state, batch, base_rng) -> (state, metrics).
 
     ``batch`` is a dict with ``image`` [A, B, D, H, W, C] and ``label``
-    [A, B, K], A = gradient-accumulation factor. Under a mesh, axis 1 (B)
-    is sharded over 'data'; everything else is replicated.
+    [A, B, K] (plus mix fields when MixUp/CutMix is on), A = gradient-
+    accumulation factor. Under a mesh, axis 1 (B) is sharded over 'data';
+    everything else is replicated. ``batch_transform(micro, rng)`` applies
+    on-device mixing/augmentation per micro-batch (see make_batch_transform);
+    None means raw (image, label) passthrough.
     """
     loss_fn = make_loss_fn(model, cfg)
+    if batch_transform is None:
+        batch_transform = lambda micro, rng: (micro["image"], micro["label"])
     use_sam = bool(cfg.USE_SAM)
     sam_rho = float(cfg.SAM_RHO)
     sam_adaptive = bool(cfg.SAM_ADAPTIVE)
@@ -90,12 +118,19 @@ def make_train_step(model, cfg, lr_table, wd_table):
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def accumulate(params, batch, step_rng, pass_idx):
-        """Mean loss/grads over the micro-batch axis via scan."""
+        """Mean loss/grads over the micro-batch axis via scan.
+
+        Mixing uses the same rng stream on both SAM passes (the reference
+        replays cached, already-mixed micro-batches, train_transformer.py:
+        1223-1243) while dropout streams differ per pass.
+        """
         a = batch["image"].shape[0]
 
         def body(carry, xs):
             acc_loss, acc_grads = carry
-            images, labels, idx = xs
+            micro, idx = xs
+            data_rng = jax.random.fold_in(jax.random.fold_in(step_rng, 999), idx)
+            images, labels = batch_transform(micro, data_rng)
             rng = jax.random.fold_in(step_rng, idx * 2 + pass_idx)
             rngs = {
                 "dropout": jax.random.fold_in(rng, 0),
@@ -114,7 +149,7 @@ def make_train_step(model, cfg, lr_table, wd_table):
         (tot_loss, tot_grads), _ = jax.lax.scan(
             body,
             (jnp.zeros((), jnp.float32), zero_grads),
-            (batch["image"], batch["label"], jnp.arange(a)),
+            (batch, jnp.arange(a)),
         )
         inv = 1.0 / a
         return tot_loss * inv, optim.tree_scale(tot_grads, inv)
