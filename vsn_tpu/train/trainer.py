@@ -1,0 +1,291 @@
+"""Per-fold training driver.
+
+Functional equivalent of reference train/train_transformer.py ``train()``
+(1507-2327) + ``training_loops()`` (937-1504):
+
+  fold CSVs -> preprocessing cache -> datasets/pipelines -> model ->
+  jitted train step (grad accum, SAM, EMA, NaN guard) -> periodic EMA-applied
+  validation -> best-N checkpoints + early stopping -> history.
+
+TPU-first: everything device-side lives in ONE jitted step; the driver is a
+thin host loop that feeds prefetched, mesh-sharded batches and reads back one
+scalar dict per step.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+import uuid
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vsn_tpu.config import save_config
+from vsn_tpu.data.augment import build_eval_transform
+from vsn_tpu.data.folds import get_train_val_test
+from vsn_tpu.data.pipeline import EvalPipeline, InMemoryDataset, TrainPipeline, prefetch
+from vsn_tpu.data.preprocessing import DataPrepa
+from vsn_tpu.models import build_model
+from vsn_tpu.parallel import mesh as meshlib
+from vsn_tpu.train import checkpoint as ckpt
+from vsn_tpu.train import metrics as M
+from vsn_tpu.train.losses import label_smoothing_loss, smoothing_from_config
+from vsn_tpu.train.schedules import lr_wd_schedules
+from vsn_tpu.train.step import (
+    init_train_state,
+    make_batch_transform,
+    make_eval_step,
+    make_train_step,
+)
+from vsn_tpu.utils import rng as rnglib
+
+log = logging.getLogger("vsn_tpu.train")
+
+
+def new_run_id() -> str:
+    """8-char run id (the reference uses the W&B run id in filenames)."""
+    return uuid.uuid4().hex[:8]
+
+
+class Validator:
+    """EMA-aware validation over a padded eval pipeline."""
+
+    def __init__(self, model, cfg, dataset, mesh):
+        self.cfg = cfg
+        self.pipeline = EvalPipeline(
+            dataset, meshlib.pad_batch_to_multiple(cfg.BATCH_SIZE, mesh.size)
+        )
+        self.mesh = mesh
+        self.smoothing = smoothing_from_config(cfg)
+        transform = build_eval_transform(cfg)
+        eval_step = make_eval_step(model)
+
+        @jax.jit
+        def run(params, images):
+            return eval_step(params, transform(images))
+
+        self._run = run
+
+    def __call__(self, params) -> tuple[dict, np.ndarray, np.ndarray]:
+        probs_all, gt_all = [], []
+        for images, labels, valid in self.pipeline:
+            images = meshlib.shard_eval_batch(
+                jnp.asarray(images), self.mesh
+            )
+            probs = np.asarray(self._run(params, images))
+            probs_all.append(probs[valid])
+            gt_all.append(labels[valid])
+        probs = np.concatenate(probs_all)
+        gt_onehot = np.concatenate(gt_all)
+        gt = gt_onehot.argmax(1)
+
+        logp = np.log(np.clip(probs, 1e-12, 1.0))
+        k = probs.shape[1]
+        targets = gt_onehot * (1 - self.smoothing) + self.smoothing / k
+        loss = float(-(targets * logp).sum(1).mean())
+
+        out = M.compute_metrics(gt, probs, k)
+        out["loss"] = loss
+        return out, probs, gt
+
+
+def train_fold(
+    cfg,
+    csv_dir: str,
+    save_dir: str,
+    cache_dir: str,
+    run_id: str | None = None,
+    resume_from: str | None = None,
+    mesh=None,
+    max_steps: int | None = None,
+) -> dict:
+    """Train one fold; returns a summary dict (history, best metric, paths)."""
+    t_start = time.time()
+    run_id = run_id or new_run_id()
+    fold = int(cfg.FOLD)
+    save_dir = Path(save_dir)
+    run_dir = save_dir / f"run_{run_id}_{fold}"
+    run_dir.mkdir(parents=True, exist_ok=True)
+    save_config(cfg, run_dir)
+
+    mesh = mesh or meshlib.make_mesh()
+    world = mesh.size
+    grad_accum = cfg.gradient_accumulation_steps(world)
+    micro_batch = int(cfg.BATCH_SIZE) * world
+    seed = cfg.seed_or_none
+
+    # ----- data ------------------------------------------------------------
+    meta_train, meta_val, meta_test, meta_all = get_train_val_test(
+        csv_dir, fold=fold, kfold=int(cfg.KFOLD), split=tuple(cfg.SPLIT)
+    )
+    prep = DataPrepa(meta_all, cache_dir)
+    prep.preprocess_data(crop=tuple(cfg.IMG_SIZE))
+
+    diseases = list(cfg.DISEASES)
+    meta_train = meta_train[meta_train.Diagnosis.isin(diseases)].reset_index(drop=True)
+    meta_val = meta_val[meta_val.Diagnosis.isin(diseases)].reset_index(drop=True)
+
+    ds_train = InMemoryDataset(
+        cache_dir, meta_train, diseases, preload=bool(cfg.PRELOAD_DATA)
+    )
+    ds_val = InMemoryDataset(
+        cache_dir, meta_val, diseases, preload=bool(cfg.PRELOAD_DATA)
+    )
+    pipe = TrainPipeline(
+        ds_train, cfg, grad_accum=grad_accum, micro_batch=micro_batch, seed=seed
+    )
+
+    # ----- model / state ---------------------------------------------------
+    model = build_model(cfg)
+    init_key = rnglib.component_key(rnglib.base_key(seed), "init")
+    sample = jnp.zeros((1, *cfg.input_size, 1), jnp.float32)
+    params = model.init(init_key, sample, True)
+    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
+    log.info("run %s fold %d: %s with %.2fM params, %d devices, accum %d",
+             run_id, fold, cfg.ARCHITECTURE, n_params / 1e6, world, grad_accum)
+
+    state = init_train_state(cfg, params)
+    lr_table, wd_table = lr_wd_schedules(cfg)
+    train_step = jax.jit(
+        make_train_step(model, cfg, lr_table, wd_table, make_batch_transform(cfg)),
+        donate_argnums=(0,),
+    )
+    train_key = rnglib.component_key(rnglib.base_key(seed), "train")
+    validator = Validator(model, cfg, ds_val, mesh)
+
+    # ----- bookkeeping -----------------------------------------------------
+    history: dict[str, list] = {}
+    saver = ckpt.AsyncCheckpointSaver(max_queue=3)
+    keep_n = cfg.KEEP_BEST_N if cfg.KEEP_BEST_N else 1
+    best_tracker = ckpt.BestNTracker(
+        save_dir, run_id, fold, keep_n, str(cfg.METRIC_BEST_MODEL)
+    )
+    es_metric = str(cfg.EARLY_STOPPING_METRIC)
+    es_patience = cfg.EARLY_STOPPING_PATIENCE
+    es_min_delta = float(cfg.EARLY_STOPPING_MIN_DELTA)
+    es_best = None
+    es_best_step = 0
+
+    start_step = 0
+    if resume_from:
+        payload, meta = ckpt.load_checkpoint(resume_from)
+        if meta.get("fold") is not None and int(meta["fold"]) != fold:
+            raise ValueError(
+                f"checkpoint was trained on fold {meta['fold']}, requested {fold}"
+            )  # reference forbids fold changes on resume (2416-2425)
+        restored, kept, dropped = ckpt.filter_compatible(payload["state"], state)
+        state = restored
+        start_step = int(meta.get("step", 0))
+        history = meta.get("history", {})
+        pipe.epoch = int(meta.get("sampler_epoch", 0))
+        es_best = meta.get("es_best")
+        es_best_step = int(meta.get("es_best_step", 0))
+        if dropped:
+            log.info("resume: dropped %d incompatible keys", len(dropped))
+
+    total_steps = int(cfg.STEPS) if max_steps is None else min(
+        int(cfg.STEPS), max_steps
+    )
+    val_freq = int(cfg.VALIDATION_FREQUENCY)
+    metrics_log = open(run_dir / "metrics.jsonl", "a")
+
+    def checkpoint_payload():
+        # EMA weights are stored as the model weights when EMA is on
+        # (reference 807-808); the raw state rides along for exact resume.
+        return {"state": state}
+
+    def checkpoint_meta(step, val_metrics=None):
+        return {
+            "run_id": run_id,
+            "fold": fold,
+            "step": step,
+            "sampler_epoch": pipe.epoch,
+            "history": history,
+            "es_best": es_best,
+            "es_best_step": es_best_step,
+            "val_metrics": val_metrics,
+            "architecture": cfg.ARCHITECTURE,
+        }
+
+    def eval_params():
+        return state.ema.ema if (cfg.USE_EMA and state.ema is not None) else (
+            state.params
+        )
+
+    # ----- loop ------------------------------------------------------------
+    stopped_early = False
+    step = start_step
+    batches = prefetch(
+        pipe, int(cfg.PREFETCH_FACTOR),
+        device_put=lambda b: meshlib.shard_train_batch(b, mesh),
+    )
+    for batch in batches:
+        if step >= total_steps or stopped_early:
+            break
+        state, train_m = train_step(state, batch, train_key)
+        step = int(state.step)
+
+        if step % val_freq == 0 or step == total_steps:
+            val_metrics, _, _ = validator(eval_params())
+            row = {
+                "step": step,
+                "train_loss": float(train_m["loss"]),
+                "lr": float(train_m["lr"]),
+                "wd": float(train_m["wd"]),
+                "grad_norm": float(train_m["grad_norm"]),
+                "skipped_steps": int(state.skipped),
+                **{f"val_{k}": v for k, v in val_metrics.items()},
+            }
+            for k, v in row.items():
+                history.setdefault(k, []).append(v)
+            metrics_log.write(json.dumps(row) + "\n")
+            metrics_log.flush()
+            log.info(
+                "step %d/%d loss %.4f val_loss %.4f val_bacc %.4f",
+                step, total_steps, row["train_loss"], row["val_loss"],
+                row["val_bacc"],
+            )
+
+            # last checkpoint (resume point)
+            saver.submit(
+                save_dir / f"model_{run_id}_{fold}_last.ckpt",
+                checkpoint_payload(), checkpoint_meta(step, val_metrics),
+            )
+            # best-N rotation on METRIC_BEST_MODEL
+            best_metric_val = val_metrics[best_tracker.metric_name]
+            idx = best_tracker.consider(best_metric_val, step)
+            if idx is not None:
+                best_tracker.insert(
+                    idx, best_metric_val, step, saver,
+                    {"state": state, "params": eval_params()},
+                    checkpoint_meta(step, val_metrics),
+                )
+
+            # early stopping
+            es_val = val_metrics[es_metric]
+            if es_best is None or M.is_improvement(
+                es_metric, es_val, es_best, es_min_delta
+            ):
+                es_best, es_best_step = es_val, step
+            elif es_patience and (step - es_best_step) >= int(es_patience):
+                log.info("early stopping at step %d (best %s=%.4f @ %d)",
+                         step, es_metric, es_best, es_best_step)
+                stopped_early = True
+
+    metrics_log.close()
+    saver.close()
+    return {
+        "run_id": run_id,
+        "fold": fold,
+        "history": history,
+        "steps": step,
+        "stopped_early": stopped_early,
+        "best": best_tracker.best,
+        "run_dir": str(run_dir),
+        "wall_time_s": time.time() - t_start,
+        "n_params": n_params,
+    }
