@@ -1,0 +1,122 @@
+"""Benchmark: Swin-3D 5-class training throughput with the full stabilization
+stack (SAM + EMA + MixUp + ShakeDrop) — the north-star configuration
+(BASELINE.md: "MRI volumes/sec/chip (Swin-3D train, SAM+EMA on)").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` is null: the reference publishes no throughput numbers
+(BASELINE.md — paper under review, no benchmarks/ directory) and its CUDA
+stack cannot run on this host. The driver's recorded BENCH_r{N}.json series
+is the longitudinal baseline instead.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+from vsn_tpu.config import load_config
+from vsn_tpu.models import build_model
+from vsn_tpu.parallel import mesh as meshlib
+from vsn_tpu.train.schedules import lr_wd_schedules
+from vsn_tpu.train.step import (
+    init_train_state,
+    make_batch_transform,
+    make_train_step,
+)
+
+
+def main():
+    on_tpu = jax.devices()[0].platform != "cpu"
+    # North-star config: Swin-T 5c, full stabilization stack. On CPU (dev
+    # boxes) shrink shapes so the bench still runs.
+    if on_tpu:
+        overrides = dict(
+            USE_SAM=True, USE_EMA=True, USE_MIXUP=True, MIXUP_PROB=0.5,
+            USE_SHAKEDROP=True, LABEL_SMOOTHING=0.1, SEED=0,
+            BATCH_SIZE=8, EFFECTIVE_BATCH_SIZE=128,
+        )
+        n_steps = int(os.environ.get("VSN_BENCH_STEPS", 8))
+        warmup = int(os.environ.get("VSN_BENCH_WARMUP", 2))
+    else:
+        overrides = dict(
+            USE_SAM=True, USE_EMA=True, USE_MIXUP=True, MIXUP_PROB=0.5,
+            USE_SHAKEDROP=True, LABEL_SMOOTHING=0.1, SEED=0,
+            IMG_SIZE=[32, 32, 32], BATCH_SIZE=1, EFFECTIVE_BATCH_SIZE=4,
+            EMBED_DIM=32, DEPTH=[1, 1], HEADS=[2, 4], WINDOW_SIZE=[4, 4, 4],
+        )
+        n_steps, warmup = 3, 1
+    cfg = load_config(extra_overrides=overrides)
+
+    mesh = meshlib.make_mesh()
+    world = mesh.size
+    grad_accum = cfg.gradient_accumulation_steps(world)
+    micro = cfg.BATCH_SIZE * world
+    volumes_per_step = grad_accum * micro
+
+    model = build_model(cfg)
+    x0 = jnp.zeros((1, *cfg.input_size, 1), jnp.float32)
+    params = model.init(jax.random.key(0), x0, True)
+    state = init_train_state(cfg, params)
+    lr, wd = lr_wd_schedules(cfg)
+    step = jax.jit(
+        make_train_step(model, cfg, lr, wd, make_batch_transform(cfg)),
+        donate_argnums=(0,),
+    )
+
+    rng = np.random.default_rng(0)
+    k = cfg.num_classes
+    shape = (grad_accum, micro, *cfg.input_size, 1)
+    batch = {
+        "image": rng.standard_normal(shape).astype(np.float16),
+        "image2": rng.standard_normal(shape).astype(np.float16),
+        "label": np.eye(k, dtype=np.float32)[
+            rng.integers(0, k, (grad_accum, micro))
+        ],
+        "label2": np.eye(k, dtype=np.float32)[
+            rng.integers(0, k, (grad_accum, micro))
+        ],
+        "mix_lam": rng.beta(0.3, 0.3, (grad_accum, micro)).astype(np.float32),
+        "mix_apply": rng.random((grad_accum, micro)) < 0.5,
+        "mix_bounds": np.zeros((grad_accum, micro, 6), np.int32),
+    }
+    batch = meshlib.shard_train_batch(batch, mesh)
+    base_rng = jax.random.key(0)
+
+    if os.environ.get("VSN_BENCH_VERBOSE"):
+        print(f"[bench] compiling... (world={world}, accum={grad_accum}, "
+              f"micro={micro})", file=sys.stderr)
+    t_c = time.perf_counter()
+    for i in range(warmup):
+        state, m = step(state, batch, base_rng)
+        jax.block_until_ready(m["loss"])
+        if os.environ.get("VSN_BENCH_VERBOSE"):
+            print(f"[bench] warmup {i}: {time.perf_counter() - t_c:.1f}s",
+                  file=sys.stderr)
+            t_c = time.perf_counter()
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = step(state, batch, base_rng)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+
+    vols_per_sec = volumes_per_step * n_steps / dt
+    per_chip = vols_per_sec / world
+    print(json.dumps({
+        "metric": "swin3d_5c_train_volumes_per_sec_per_chip_sam_ema",
+        "value": round(per_chip, 3),
+        "unit": "volumes/sec/chip",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -146,6 +146,6 @@ def test_gradient_clip():
 def test_eval_step_probs():
     cfg, model, state, step_fn = build()
     eval_fn = jax.jit(make_eval_step(model))
-    probs = eval_fn(state.params, jnp.ones((5, 8)))
+    probs = eval_fn({"params": state.params}, jnp.ones((5, 8)))
     assert probs.shape == (5, 3)
     np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)

@@ -74,7 +74,8 @@ def test_train_fold_end_to_end(synth, tmp_path):
     best = sorted(runs.glob("model_testrun1_0_best*.ckpt"))
     assert 1 <= len(best) <= 2
     payload, meta = load_checkpoint(best[0])
-    assert meta["fold"] == 0 and "params" in payload
+    assert meta["fold"] == 0 and "variables" in payload
+    assert "params" in payload["variables"]
     run_dir = Path(summary["run_dir"])
     assert (run_dir / "config.yaml").exists()
     lines = [json.loads(l) for l in open(run_dir / "metrics.jsonl")]

@@ -1,0 +1,554 @@
+"""3D Swin Transformer V1 (hierarchical shifted-window attention).
+
+Capability parity with reference models/swin_transformer_3d.py: Conv3d patch
+embed (+optional norm), 4 stages of window MSA with 3D relative-position bias
+and alternating shifted windows, 8-way PatchMerging, pre-/post-norm variants,
+ShakeDrop-or-DropPath, LayerScale, DeepScaleLM stable residuals, grad
+checkpointing, T/S/B/L presets (swin_transformer_3d.py:20-49, 701-785).
+
+TPU-first design:
+  * channels-last [B, D, H, W, C] end to end — XLA's native conv/matmul
+    layout, no permutes on the hot path;
+  * every shape is static under jit: padding to window multiples and the
+    shifted-window attention mask are computed ONCE at trace time with numpy
+    (the reference rebuilds the mask on device every forward,
+    swin_transformer_3d.py:463-492 — a free win);
+  * the mask uses a region-id formulation (region index per axis in
+    {inside, rolled-window, rolled-shift} -> same-id voxels attend) instead
+    of the slice-loop construction, with a golden-value test against the
+    reference algorithm;
+  * window partition/reverse are reshape+transpose only — they fuse away;
+  * attention is einsum-based with f32 softmax; the fused Pallas kernel in
+    vsn_tpu/ops/window_attention.py can be swapped in via use_pallas.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vsn_tpu.models.layers import (
+    Mlp,
+    ResidualBranch,
+    make_norm,
+    stochastic_depth_rates,
+    trunc_normal_init,
+)
+from vsn_tpu.ops.stable_init import (
+    compute_residual_gains,
+    normal_init,
+    stable_embedding_std,
+    stable_qkv_init,
+    stable_vproj_std,
+)
+
+# Preset table mirroring reference swin_transformer_3d.py:20-49 (_SWIN_CONFIGS).
+SWIN_CONFIGS = {
+    "T": dict(patch_size=[4, 4, 4], embed_dim=96, depths=[2, 2, 6, 2],
+              num_heads=[3, 6, 12, 24], window_size=[7, 7, 7]),
+    "S": dict(patch_size=[4, 4, 4], embed_dim=96, depths=[2, 2, 18, 2],
+              num_heads=[3, 6, 12, 24], window_size=[7, 7, 7]),
+    "B": dict(patch_size=[4, 4, 4], embed_dim=128, depths=[2, 2, 18, 2],
+              num_heads=[4, 8, 16, 32], window_size=[7, 7, 7]),
+    "L": dict(patch_size=[4, 4, 4], embed_dim=192, depths=[2, 2, 18, 2],
+              num_heads=[6, 12, 24, 48], window_size=[7, 7, 7]),
+}
+
+
+# ---------------------------------------------------------------------------
+# Static geometry helpers (trace-time numpy)
+# ---------------------------------------------------------------------------
+
+def clamp_window(x_size, window_size, shift_size):
+    """Shrink window to the axis size and zero its shift where the input is
+    not larger than the window (reference get_window_size_and_shift:92-103)."""
+    w, s = list(window_size), list(shift_size)
+    for i in range(3):
+        if x_size[i] <= window_size[i]:
+            w[i] = x_size[i]
+            s[i] = 0
+    return tuple(w), tuple(s)
+
+
+def window_partition(x: jax.Array, window: Tuple[int, int, int]) -> jax.Array:
+    """[B, D, H, W, C] -> [B*nW, wD*wH*wW, C] (pure reshape/transpose)."""
+    b, d, h, w, c = x.shape
+    wd, wh, ww = window
+    x = x.reshape(b, d // wd, wd, h // wh, wh, w // ww, ww, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(-1, wd * wh * ww, c)
+
+
+def window_reverse(
+    windows: jax.Array, window: Tuple[int, int, int], dims: Tuple[int, int, int]
+) -> jax.Array:
+    d, h, w = dims
+    wd, wh, ww = window
+    c = windows.shape[-1]
+    b = windows.shape[0] // (d // wd * (h // wh) * (w // ww))
+    x = windows.reshape(b, d // wd, h // wh, w // ww, wd, wh, ww, c)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, d, h, w, c)
+
+
+def relative_position_index(window: Tuple[int, int, int]) -> np.ndarray:
+    """Static [N, N] lookup into the (2wd-1)(2wh-1)(2ww-1) bias table."""
+    wd, wh, ww = window
+    coords = np.stack(
+        np.meshgrid(np.arange(wd), np.arange(wh), np.arange(ww), indexing="ij")
+    ).reshape(3, -1)
+    rel = coords[:, :, None] - coords[:, None, :]  # [3, N, N]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wd - 1
+    rel[:, :, 1] += wh - 1
+    rel[:, :, 2] += ww - 1
+    rel[:, :, 0] *= (2 * wh - 1) * (2 * ww - 1)
+    rel[:, :, 1] *= 2 * ww - 1
+    return rel.sum(-1).astype(np.int32)
+
+
+def shifted_window_mask(
+    dims: Tuple[int, int, int],
+    window: Tuple[int, int, int],
+    shift: Tuple[int, int, int],
+) -> np.ndarray:
+    """Additive attention mask [nW, N, N] for shifted windows, built at trace
+    time. Voxels get a region id per axis (0: untouched, 1: wrapped window
+    tail, 2: wrapped shift tail); only same-id pairs attend. Equivalent to the
+    reference's cnt-slices construction (swin_transformer_3d.py:463-492)."""
+
+    def axis_regions(size, win, sh):
+        r = np.zeros(size, np.int64)
+        if sh > 0:
+            r[size - win : size - sh] = 1
+            r[size - sh :] = 2
+        return r
+
+    rd = axis_regions(dims[0], window[0], shift[0])
+    rh = axis_regions(dims[1], window[1], shift[1])
+    rw = axis_regions(dims[2], window[2], shift[2])
+    region = (
+        rd[:, None, None] * 9 + rh[None, :, None] * 3 + rw[None, None, :]
+    )  # [D, H, W]
+
+    wd, wh, ww = window
+    d, h, w = dims
+    region = region.reshape(d // wd, wd, h // wh, wh, w // ww, ww)
+    region = region.transpose(0, 2, 4, 1, 3, 5).reshape(-1, wd * wh * ww)
+    diff = region[:, :, None] != region[:, None, :]
+    return np.where(diff, -100.0, 0.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Modules
+# ---------------------------------------------------------------------------
+
+class WindowAttention3D(nn.Module):
+    """Window MSA with 3D relative-position bias
+    (reference swin_transformer_3d.py:106-199)."""
+
+    window: Tuple[int, int, int]
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    enable_stable: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jax.Array], deterministic: bool = True):
+        # x: [B*nW, N, C]; mask: [nW, N, N] additive or None
+        bnw, n, c = x.shape
+        head_dim = c // self.num_heads
+        scale = head_dim**-0.5
+
+        table_size = (
+            (2 * self.window[0] - 1)
+            * (2 * self.window[1] - 1)
+            * (2 * self.window[2] - 1)
+        )
+        bias_table = self.param(
+            "relative_position_bias_table",
+            trunc_normal_init(0.02),
+            (table_size, self.num_heads),
+            jnp.float32,
+        )
+        rel_idx = relative_position_index(self.window)  # static numpy [N, N]
+
+        qkv_init = (
+            stable_qkv_init(c, self.attn_drop)
+            if self.enable_stable
+            else trunc_normal_init(0.02)
+        )
+        qkv = nn.Dense(
+            3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+            kernel_init=qkv_init, name="qkv",
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):
+            return t.reshape(bnw, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        q, k, v = map(split_heads, (q, k, v))
+        attn = jnp.einsum(
+            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+        ) * scale
+
+        bias = bias_table[rel_idx.reshape(-1)].reshape(n, n, self.num_heads)
+        attn = attn + bias.transpose(2, 0, 1)[None]
+
+        if mask is not None:
+            nw = mask.shape[0]
+            attn = attn.reshape(bnw // nw, nw, self.num_heads, n, n)
+            attn = attn + mask[None, :, None]
+            attn = attn.reshape(bnw, self.num_heads, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum(
+            "bhij,bhjd->bhid", attn.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
+
+        proj_init = (
+            normal_init(stable_vproj_std(c, self.proj_drop))
+            if self.enable_stable
+            else trunc_normal_init(0.02)
+        )
+        out = nn.Dense(c, dtype=self.dtype, kernel_init=proj_init, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class SwinBlock3D(nn.Module):
+    """One (shifted-)window transformer block
+    (reference swin_transformer_3d.py:202-382)."""
+
+    num_heads: int
+    window: Tuple[int, int, int]
+    shift: Tuple[int, int, int]
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    drop_path_rate: float = 0.0
+    post_norm: bool = False
+    norm_layer: Optional[str] = None
+    use_shakedrop: bool = False
+    shakedrop_alpha_range: Tuple[float, float] = (-1.0, 1.0)
+    layer_scale: bool = False
+    layer_scale_init_value: float = 1e-5
+    enable_stable: bool = False
+    stable_lam: float = 1.0
+    stable_beta: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jax.Array], deterministic: bool = True):
+        b, d, h, w, c = x.shape
+        norm_ctor = make_norm(self.norm_layer, self.dtype)
+        residual_kw = dict(
+            drop_path_rate=self.drop_path_rate,
+            use_shakedrop=self.use_shakedrop,
+            shakedrop_alpha_range=self.shakedrop_alpha_range,
+            layer_scale=self.layer_scale,
+            layer_scale_init_value=self.layer_scale_init_value,
+            enable_stable=self.enable_stable,
+            stable_lam=self.stable_lam,
+            stable_beta=self.stable_beta,
+            dtype=self.dtype,
+        )
+        shortcut = x
+        shifted = any(s > 0 for s in self.shift)
+
+        h_in = x if self.post_norm else norm_ctor(name="norm1")(x)
+        if shifted:
+            h_in = jnp.roll(
+                h_in, shift=(-self.shift[0], -self.shift[1], -self.shift[2]),
+                axis=(1, 2, 3),
+            )
+        windows = window_partition(h_in, self.window)
+        attn_windows = WindowAttention3D(
+            window=self.window,
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            attn_drop=self.attention_dropout,
+            proj_drop=self.dropout,
+            dtype=self.dtype,
+            enable_stable=self.enable_stable,
+            name="attn",
+        )(windows, mask if shifted else None, deterministic)
+        attn_out = window_reverse(attn_windows, self.window, (d, h, w))
+        if shifted:
+            attn_out = jnp.roll(attn_out, shift=self.shift, axis=(1, 2, 3))
+        if self.post_norm:
+            attn_out = norm_ctor(name="norm1")(attn_out)
+        x = ResidualBranch(**residual_kw, name="res1")(
+            shortcut, attn_out, deterministic
+        )
+
+        h2 = x if self.post_norm else norm_ctor(name="norm2")(x)
+        mlp_init = (
+            normal_init(stable_vproj_std(c, self.dropout))
+            if self.enable_stable
+            else trunc_normal_init(0.02)
+        )
+        mlp_out = Mlp(
+            hidden_features=int(c * self.mlp_ratio),
+            dropout=self.dropout,
+            dtype=self.dtype,
+            kernel_init=mlp_init,
+            name="mlp",
+        )(h2, deterministic)
+        if self.post_norm:
+            mlp_out = norm_ctor(name="norm2")(mlp_out)
+        x = ResidualBranch(**residual_kw, name="res2")(x, mlp_out, deterministic)
+        return x
+
+
+class PatchMerging3D(nn.Module):
+    """8-neighbor concat -> LN -> Linear(8C -> 2C)
+    (reference swin_transformer_3d.py:546-572)."""
+
+    norm_layer: Optional[str] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, h, w, c = x.shape
+        pads = [(0, d % 2), (0, h % 2), (0, w % 2)]
+        if any(p[1] for p in pads):
+            x = jnp.pad(x, [(0, 0), *pads, (0, 0)])
+            d, h, w = x.shape[1:4]
+        # 8 parity-offset sub-grids, concatenated channelwise in the
+        # reference's order (x0..x7)
+        parts = [
+            x[:, dz::2, dy::2, dx::2, :]
+            for dz, dy, dx in (
+                (0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
+                (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1),
+            )
+        ]
+        x = jnp.concatenate(parts, axis=-1)
+        x = make_norm(self.norm_layer, self.dtype)(name="norm")(x)
+        x = nn.Dense(
+            2 * c, use_bias=False, dtype=self.dtype,
+            kernel_init=trunc_normal_init(0.02), name="reduction",
+        )(x)
+        return x
+
+
+class BasicLayer3D(nn.Module):
+    """One stage: depth x SwinBlock3D with alternating shift + downsample
+    (reference swin_transformer_3d.py:385-514)."""
+
+    depth: int
+    num_heads: int
+    window: Tuple[int, int, int]
+    drop_path_rates: Sequence[float]
+    downsample: bool
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    post_norm: bool = False
+    norm_layer: Optional[str] = None
+    use_checkpoint: bool = False
+    use_shakedrop: bool = False
+    shakedrop_alpha_range: Tuple[float, float] = (-1.0, 1.0)
+    layer_scale: bool = False
+    layer_scale_init_value: float = 1e-5
+    enable_stable: bool = False
+    stable_lam: float = 1.0
+    stable_beta: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, d, h, w, c = x.shape
+        window, shift = clamp_window(
+            (d, h, w), self.window, tuple(ws // 2 for ws in self.window)
+        )
+        pad = [(ws - dim % ws) % ws for dim, ws in zip((d, h, w), window)]
+        if any(pad):
+            x = jnp.pad(
+                x, [(0, 0), (0, pad[0]), (0, pad[1]), (0, pad[2]), (0, 0)]
+            )
+        dims_p = (d + pad[0], h + pad[1], w + pad[2])
+
+        if any(s > 0 for s in shift):
+            mask = jnp.asarray(shifted_window_mask(dims_p, window, shift))
+        else:
+            mask = None
+
+        block_cls = SwinBlock3D
+        if self.use_checkpoint:
+            block_cls = nn.remat(SwinBlock3D, static_argnums=(3,))
+        for i in range(self.depth):
+            blk_shift = tuple(0 for _ in window) if i % 2 == 0 else shift
+            x = block_cls(
+                num_heads=self.num_heads,
+                window=window,
+                shift=blk_shift,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                dropout=self.dropout,
+                attention_dropout=self.attention_dropout,
+                drop_path_rate=self.drop_path_rates[i],
+                post_norm=self.post_norm,
+                norm_layer=self.norm_layer,
+                use_shakedrop=self.use_shakedrop,
+                shakedrop_alpha_range=self.shakedrop_alpha_range,
+                layer_scale=self.layer_scale,
+                layer_scale_init_value=self.layer_scale_init_value,
+                enable_stable=self.enable_stable,
+                stable_lam=self.stable_lam,
+                stable_beta=self.stable_beta,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x, mask, deterministic)
+
+        x = x[:, :d, :h, :w, :]
+        if self.downsample:
+            x = PatchMerging3D(
+                norm_layer=self.norm_layer, dtype=self.dtype, name="downsample"
+            )(x)
+        return x
+
+
+class SwinTransformer3D(nn.Module):
+    """Swin-3D classifier (reference swin_transformer_3d.py:575-785)."""
+
+    patch_size: Tuple[int, int, int]
+    num_classes: int
+    embed_dim: int
+    depths: Tuple[int, ...]
+    num_heads: Tuple[int, ...]
+    window_size: Tuple[int, int, int]
+    in_channels: int = 1
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    stochastic_depth_prob: float = 0.1
+    patch_norm: bool = True
+    post_norm: bool = False
+    norm_layer: Optional[str] = None
+    use_checkpoint: bool = False
+    enable_stable: bool = False
+    stable_k: float = 2.0
+    stable_alpha: float = 1.0
+    use_shakedrop: bool = False
+    shakedrop_alpha_range: Tuple[float, float] = (-1.0, 1.0)
+    layer_scale: bool = False
+    layer_scale_init_value: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        # x: [B, D, H, W, C]
+        x = x.astype(self.dtype)
+        b = x.shape[0]
+        pad = [
+            (p - s % p) % p for s, p in zip(x.shape[1:4], self.patch_size)
+        ]
+        if any(pad):
+            x = jnp.pad(x, [(0, 0), (0, pad[0]), (0, pad[1]), (0, pad[2]), (0, 0)])
+
+        embed_fan_in = self.in_channels * int(np.prod(self.patch_size))
+        embed_init = (
+            normal_init(stable_embedding_std(embed_fan_in, self.dropout))
+            if self.enable_stable
+            else trunc_normal_init(0.02)
+        )
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=tuple(self.patch_size),
+            strides=tuple(self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            kernel_init=embed_init,
+            name="patch_embed",
+        )(x)
+        if self.patch_norm:
+            x = make_norm(self.norm_layer, self.dtype)(name="patch_embed_norm")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+        total_blocks = sum(self.depths)
+        if self.enable_stable:
+            stable_lam, stable_beta = compute_residual_gains(
+                total_blocks, self.stable_k, self.stable_alpha
+            )
+        else:
+            stable_lam, stable_beta = 1.0, 0.0
+
+        dpr = stochastic_depth_rates(self.stochastic_depth_prob, self.depths)
+        n_layers = len(self.depths)
+        for i in range(n_layers):
+            off = sum(self.depths[:i])
+            x = BasicLayer3D(
+                depth=self.depths[i],
+                num_heads=self.num_heads[i],
+                window=tuple(self.window_size),
+                drop_path_rates=tuple(dpr[off : off + self.depths[i]]),
+                downsample=i < n_layers - 1,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                dropout=self.dropout,
+                attention_dropout=self.attention_dropout,
+                post_norm=self.post_norm,
+                norm_layer=self.norm_layer,
+                use_checkpoint=self.use_checkpoint,
+                use_shakedrop=self.use_shakedrop,
+                shakedrop_alpha_range=self.shakedrop_alpha_range,
+                layer_scale=self.layer_scale,
+                layer_scale_init_value=self.layer_scale_init_value,
+                enable_stable=self.enable_stable,
+                stable_lam=stable_lam,
+                stable_beta=stable_beta,
+                dtype=self.dtype,
+                name=f"layer{i}",
+            )(x, deterministic)
+
+        x = make_norm(self.norm_layer, self.dtype)(name="norm")(x)
+        x = x.mean(axis=(1, 2, 3))  # AdaptiveAvgPool3d(1)
+        logits = nn.Dense(
+            self.num_classes, dtype=jnp.float32,
+            kernel_init=trunc_normal_init(0.02), name="head",
+        )(x.astype(jnp.float32))
+        return logits
+
+
+def swin_from_config(cfg, dtype=jnp.float32) -> SwinTransformer3D:
+    """Build from the public config keys (reference train_transformer.py:
+    1968-2010 maps PATCH_SHAPE/EMBED_DIM/DEPTH/HEADS/WINDOW_SIZE directly)."""
+    return SwinTransformer3D(
+        patch_size=tuple(cfg.PATCH_SHAPE),
+        num_classes=cfg.num_classes,
+        embed_dim=int(cfg.EMBED_DIM),
+        depths=tuple(cfg.DEPTH),
+        num_heads=tuple(cfg.HEADS),
+        window_size=tuple(cfg.WINDOW_SIZE),
+        mlp_ratio=float(cfg.MLP_RATIO),
+        qkv_bias=bool(cfg.QKV_BIAS),
+        dropout=float(cfg.DROPOUT),
+        attention_dropout=float(cfg.ATTENTION_DROPOUT),
+        stochastic_depth_prob=float(cfg.STOCHASTIC_DEPTH_PROB),
+        patch_norm=bool(cfg.PATCH_NORM),
+        post_norm=bool(cfg.POST_NORM),
+        norm_layer=cfg.NORM_LAYER,
+        use_checkpoint=bool(cfg.USE_CHECKPOINT),
+        enable_stable=bool(cfg.ENABLE_STABLE),
+        stable_k=float(cfg.STABLE_K),
+        stable_alpha=float(cfg.STABLE_ALPHA),
+        use_shakedrop=bool(cfg.USE_SHAKEDROP),
+        shakedrop_alpha_range=tuple(cfg.SHAKEDROP_ALPHA_RANGE),
+        layer_scale=bool(cfg.LAYER_SCALE),
+        layer_scale_init_value=float(cfg.LAYER_SCALE_INIT_VALUE),
+        dtype=dtype,
+    )

@@ -38,7 +38,10 @@ def ema_init(params, n_models: int) -> EMAState:
     return EMAState(
         queue=jax.tree.map(stack, params),
         count=jnp.ones((), jnp.int32),
-        ema=jax.tree.map(lambda p: p, params),
+        # explicit copy: the EMA leaves must NOT alias the live params —
+        # the train step donates its input state, and aliased buffers would
+        # be donated twice.
+        ema=jax.tree.map(lambda p: jnp.array(p, copy=True), params),
     )
 
 

@@ -16,9 +16,17 @@ optimizer step — the functional equivalent of the reference's micro-batch loop
     in HBM);
   * optional global-norm clipping before the (first and second) SAM passes'
     updates (reference 1198-1216, 1256-1284);
-  * EMA update after a successful optimizer step (reference 1294-1296);
+  * EMA update after a successful optimizer step (reference 1294-1296); EMA
+    covers params AND mutable model state (BN running stats), matching the
+    reference's full-state_dict EMA (utils/ema.py:84-108);
   * LR/WD are read from precomputed schedule tables indexed by the traced
     step counter (reference 279-309).
+
+BatchNorm models (ResNet/MedViT) carry their running statistics as a mutable
+``batch_stats`` collection threaded through the accumulation scan. The
+reference's SyncBN (train_transformer.py:2089-2090) needs no special code:
+under a global-view sharded jit, batch reductions are global, so moments are
+computed over the cross-device batch automatically.
 
 bf16 forward/backward with f32 params and f32 grad accumulation replaces the
 reference's fp16 + GradScaler; the scaler's NaN machinery reduces to the
@@ -27,7 +35,6 @@ plain NaN-skip above.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -39,17 +46,32 @@ from vsn_tpu.train.losses import label_smoothing_loss, smoothing_from_config
 
 
 class TrainState(NamedTuple):
-    params: object
+    params: object               # trainable params (variables['params'])
+    model_state: dict            # non-trainable collections (batch_stats, ...)
     opt: optim.AdamWState
     step: jax.Array              # optimizer steps taken (int32)
     skipped: jax.Array           # NaN-skipped steps (int32)
-    ema: Optional[EMAState]      # None when USE_EMA is off
+    ema: Optional[EMAState]      # EMA over {params, model_state}; None if off
 
 
-def init_train_state(cfg, params) -> TrainState:
-    ema = ema_init(params, int(cfg.EMA_N_MODELS)) if cfg.USE_EMA else None
+def split_variables(variables) -> tuple[object, dict]:
+    """Split a flax variables dict into (params, other collections)."""
+    variables = dict(variables)
+    params = variables.pop("params")
+    return params, variables
+
+
+def init_train_state(cfg, variables) -> TrainState:
+    params, model_state = split_variables(variables)
+    ema = (
+        ema_init({"params": params, "model_state": model_state},
+                 int(cfg.EMA_N_MODELS))
+        if cfg.USE_EMA
+        else None
+    )
     return TrainState(
         params=params,
+        model_state=model_state,
         opt=optim.adamw_init(params),
         step=jnp.zeros((), jnp.int32),
         skipped=jnp.zeros((), jnp.int32),
@@ -57,13 +79,30 @@ def init_train_state(cfg, params) -> TrainState:
     )
 
 
+def eval_variables(state: TrainState, use_ema: bool) -> dict:
+    """Variables dict for validation/eval: EMA weights when EMA is on
+    (reference train_transformer.py:1307-1322 apply_to/restore)."""
+    if use_ema and state.ema is not None:
+        e = state.ema.ema
+        return {"params": e["params"], **e["model_state"]}
+    return {"params": state.params, **state.model_state}
+
+
 def make_loss_fn(model, cfg):
     smoothing = smoothing_from_config(cfg)
 
-    def loss_fn(params, images, labels, rngs):
-        logits = model.apply(params, images, False, rngs=rngs)
+    def loss_fn(params, model_state, images, labels, rngs):
+        variables = {"params": params, **model_state}
+        mutable = list(model_state.keys())
+        if mutable:
+            logits, new_model_state = model.apply(
+                variables, images, False, rngs=rngs, mutable=mutable
+            )
+        else:
+            logits = model.apply(variables, images, False, rngs=rngs)
+            new_model_state = model_state
         loss = label_smoothing_loss(logits, labels, smoothing)
-        return loss, logits
+        return loss, (logits, dict(new_model_state))
 
     return loss_fn
 
@@ -117,17 +156,19 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def accumulate(params, batch, step_rng, pass_idx):
+    def accumulate(params, model_state, batch, step_rng, pass_idx):
         """Mean loss/grads over the micro-batch axis via scan.
 
         Mixing uses the same rng stream on both SAM passes (the reference
         replays cached, already-mixed micro-batches, train_transformer.py:
-        1223-1243) while dropout streams differ per pass.
+        1223-1243) while dropout streams differ per pass. BN stats update
+        sequentially across micro-batches, like the reference's sequential
+        micro-batch forwards.
         """
         a = batch["image"].shape[0]
 
         def body(carry, xs):
-            acc_loss, acc_grads = carry
+            acc_loss, acc_grads, mstate = carry
             micro, idx = xs
             data_rng = jax.random.fold_in(jax.random.fold_in(step_rng, 999), idx)
             images, labels = batch_transform(micro, data_rng)
@@ -136,23 +177,25 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
                 "dropout": jax.random.fold_in(rng, 0),
                 "shakedrop": jax.random.fold_in(rng, 1),
             }
-            (loss, _), grads = grad_fn(params, images, labels, rngs)
+            (loss, (_, new_mstate)), grads = grad_fn(
+                params, mstate, images, labels, rngs
+            )
             acc_loss = acc_loss + loss
             acc_grads = jax.tree.map(
                 lambda ag, g: ag + g.astype(jnp.float32), acc_grads, grads
             )
-            return (acc_loss, acc_grads), None
+            return (acc_loss, acc_grads, new_mstate), None
 
         zero_grads = jax.tree.map(
             lambda p: jnp.zeros(p.shape, jnp.float32), params
         )
-        (tot_loss, tot_grads), _ = jax.lax.scan(
+        (tot_loss, tot_grads, new_mstate), _ = jax.lax.scan(
             body,
-            (jnp.zeros((), jnp.float32), zero_grads),
+            (jnp.zeros((), jnp.float32), zero_grads, model_state),
             (batch, jnp.arange(a)),
         )
         inv = 1.0 / a
-        return tot_loss * inv, optim.tree_scale(tot_grads, inv)
+        return tot_loss * inv, optim.tree_scale(tot_grads, inv), new_mstate
 
     def train_step(state: TrainState, batch, base_rng):
         step = state.step
@@ -160,7 +203,9 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
         wd = wd_table[jnp.minimum(step, wd_table.shape[0] - 1)]
         step_rng = jax.random.fold_in(base_rng, step)
 
-        loss, grads = accumulate(state.params, batch, step_rng, 0)
+        loss, grads, mstate = accumulate(
+            state.params, state.model_state, batch, step_rng, 0
+        )
         finite = optim.all_finite(grads) & jnp.isfinite(loss)
 
         if clip is not None:
@@ -173,7 +218,9 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
                 state.params, grads, sam_rho, sam_adaptive
             )
             params_adv = optim.tree_add(state.params, e_w)
-            loss2, grads2 = accumulate(params_adv, batch, step_rng, 1)
+            loss2, grads2, mstate = accumulate(
+                params_adv, mstate, batch, step_rng, 1
+            )
             finite = finite & optim.all_finite(grads2) & jnp.isfinite(loss2)
             if clip is not None:
                 grads2, _ = optim.clip_by_global_norm(grads2, clip)
@@ -182,24 +229,29 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
             update_grads = grads
 
         def do_update(operand):
-            params, opt, ema = operand
+            params, old_mstate, opt, ema = operand
             new_params, new_opt = optim.adamw_update(
                 update_grads, opt, params, lr, wd
             )
             if use_ema:
-                ema = ema_update(ema, new_params, ema_decay, ema_n)
-            return new_params, new_opt, ema, jnp.int32(0)
+                ema = ema_update(
+                    ema, {"params": new_params, "model_state": mstate},
+                    ema_decay, ema_n,
+                )
+            return new_params, mstate, new_opt, ema, jnp.int32(0)
 
         def skip_update(operand):
-            params, opt, ema = operand
-            return params, opt, ema, jnp.int32(1)
+            params, old_mstate, opt, ema = operand
+            return params, old_mstate, opt, ema, jnp.int32(1)
 
-        new_params, new_opt, new_ema, was_skipped = jax.lax.cond(
-            finite, do_update, skip_update, (state.params, state.opt, state.ema)
+        new_params, new_mstate, new_opt, new_ema, was_skipped = jax.lax.cond(
+            finite, do_update, skip_update,
+            (state.params, state.model_state, state.opt, state.ema),
         )
 
         new_state = TrainState(
             params=new_params,
+            model_state=new_mstate,
             opt=new_opt,
             step=step + 1,
             skipped=state.skipped + was_skipped,
@@ -218,10 +270,39 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
 
 
 def make_eval_step(model):
-    """(params, images) -> probs [B, K] (deterministic forward + softmax)."""
+    """(variables, images) -> probs [B, K] (deterministic forward + softmax)."""
 
-    def eval_step(params, images):
-        logits = model.apply(params, images, True)
+    def eval_step(variables, images):
+        logits = model.apply(variables, images, True)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
     return eval_step
+
+
+def make_bn_refresh_step(model, cfg, batch_transform=None):
+    """Re-estimate BN running stats with (EMA) weights over train batches.
+
+    Equivalent of reference EMAModel.update_bn_stats (utils/ema.py:144-178):
+    train-mode forwards that only mutate batch_stats.
+    """
+    if batch_transform is None:
+        batch_transform = lambda micro, rng: (micro["image"], micro["label"])
+
+    def refresh(params, model_state, batch, rng):
+        a = batch["image"].shape[0]
+
+        def body(mstate, xs):
+            micro, idx = xs
+            images, _ = batch_transform(micro, jax.random.fold_in(rng, idx))
+            _, new_mstate = model.apply(
+                {"params": params, **mstate}, images, False,
+                rngs={"dropout": jax.random.fold_in(rng, idx + 1000),
+                      "shakedrop": jax.random.fold_in(rng, idx + 2000)},
+                mutable=list(mstate.keys()),
+            )
+            return dict(new_mstate), None
+
+        new_mstate, _ = jax.lax.scan(body, model_state, (batch, jnp.arange(a)))
+        return new_mstate
+
+    return refresh

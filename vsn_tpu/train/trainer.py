@@ -36,6 +36,7 @@ from vsn_tpu.train import metrics as M
 from vsn_tpu.train.losses import label_smoothing_loss, smoothing_from_config
 from vsn_tpu.train.schedules import lr_wd_schedules
 from vsn_tpu.train.step import (
+    eval_variables,
     init_train_state,
     make_batch_transform,
     make_eval_step,
@@ -65,18 +66,18 @@ class Validator:
         eval_step = make_eval_step(model)
 
         @jax.jit
-        def run(params, images):
-            return eval_step(params, transform(images))
+        def run(variables, images):
+            return eval_step(variables, transform(images))
 
         self._run = run
 
-    def __call__(self, params) -> tuple[dict, np.ndarray, np.ndarray]:
+    def __call__(self, variables) -> tuple[dict, np.ndarray, np.ndarray]:
         probs_all, gt_all = [], []
         for images, labels, valid in self.pipeline:
             images = meshlib.shard_eval_batch(
                 jnp.asarray(images), self.mesh
             )
-            probs = np.asarray(self._run(params, images))
+            probs = np.asarray(self._run(variables, images))
             probs_all.append(probs[valid])
             gt_all.append(labels[valid])
         probs = np.concatenate(probs_all)
@@ -143,12 +144,14 @@ def train_fold(
     model = build_model(cfg)
     init_key = rnglib.component_key(rnglib.base_key(seed), "init")
     sample = jnp.zeros((1, *cfg.input_size, 1), jnp.float32)
-    params = model.init(init_key, sample, True)
-    n_params = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(params))
+    variables = model.init(init_key, sample, True)
+    n_params = sum(
+        int(np.prod(l.shape)) for l in jax.tree.leaves(variables.get("params"))
+    )
     log.info("run %s fold %d: %s with %.2fM params, %d devices, accum %d",
              run_id, fold, cfg.ARCHITECTURE, n_params / 1e6, world, grad_accum)
 
-    state = init_train_state(cfg, params)
+    state = init_train_state(cfg, variables)
     lr_table, wd_table = lr_wd_schedules(cfg)
     train_step = jax.jit(
         make_train_step(model, cfg, lr_table, wd_table, make_batch_transform(cfg)),
@@ -212,9 +215,7 @@ def train_fold(
         }
 
     def eval_params():
-        return state.ema.ema if (cfg.USE_EMA and state.ema is not None) else (
-            state.params
-        )
+        return eval_variables(state, bool(cfg.USE_EMA))
 
     # ----- loop ------------------------------------------------------------
     stopped_early = False
@@ -261,7 +262,7 @@ def train_fold(
             if idx is not None:
                 best_tracker.insert(
                     idx, best_metric_val, step, saver,
-                    {"state": state, "params": eval_params()},
+                    {"state": state, "variables": eval_params()},
                     checkpoint_meta(step, val_metrics),
                 )
 
