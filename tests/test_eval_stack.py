@@ -1,0 +1,240 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vsn_tpu.eval import bootstrap as B
+from vsn_tpu.eval.calibration import (
+    IsotonicCalibration,
+    PlattScaling,
+    TemperatureScaling,
+    make_calibrator,
+)
+from vsn_tpu.eval.tta import (
+    entropy_weighted_average,
+    make_tta_predictor,
+    make_tta_views,
+)
+
+
+@pytest.fixture(scope="module")
+def preds():
+    rng = np.random.default_rng(0)
+    k, n = 3, 200
+    gt = rng.integers(0, k, n)
+    logits = rng.standard_normal((n, k)) + 2.0 * np.eye(k)[gt]
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    return gt, probs, logits
+
+
+# ---------------------------------------------------------------------------
+# calibration/uncertainty kernels
+# ---------------------------------------------------------------------------
+
+def test_ece_perfectly_calibrated_binary():
+    rng = np.random.default_rng(0)
+    n = 200_000
+    p = rng.uniform(0.5, 1.0, n)
+    y = (rng.uniform(size=n) < p).astype(int)  # correct w.p. = confidence
+    probs = np.stack([1 - p, p], 1)
+    ece = B.compute_ece(np.ones(n, int) * 1, probs,
+                        correct_mask=(y == 1))
+    assert ece < 0.01
+
+
+def test_ece_miscalibrated():
+    n = 1000
+    probs = np.tile([0.05, 0.95], (n, 1))
+    gt = np.zeros(n, int)  # always wrong but 95% confident
+    gt[: n // 2] = 1  # half correct
+    ece = B.compute_ece(gt, probs)
+    assert abs(ece - abs(0.95 - 0.5)) < 0.01
+    assert B.compute_mce(gt, probs) >= ece
+
+
+def test_brier_formula(preds):
+    gt, probs, _ = preds
+    overall, per_class = B.compute_brier(gt, probs, 3)
+    onehot = np.eye(3)[gt]
+    np.testing.assert_allclose(overall, ((probs - onehot) ** 2).mean(), rtol=1e-9)
+    np.testing.assert_allclose(
+        per_class[1], ((probs[:, 1] - onehot[:, 1]) ** 2).mean(), rtol=1e-9
+    )
+    # empty mask -> NaN
+    o, pc = B.compute_brier(gt, probs, 3, sample_mask=np.zeros(len(gt), bool))
+    assert np.isnan(o)
+
+
+def test_uncertainty_measures():
+    uniform = np.full((10, 4), 0.25)
+    peaked = np.zeros((10, 4))
+    peaked[:, 0] = 1.0
+    assert B.softmax_entropy(uniform) > B.softmax_entropy(peaked)
+    assert abs(B.softmax_entropy(uniform) - np.log(4)) < 1e-6
+    assert B.gini_index(uniform) > B.gini_index(peaked)
+    assert abs(B.gini_index(uniform) - 0.75) < 1e-9
+    assert B.renyi_entropy(uniform) > B.renyi_entropy(peaked)
+    with pytest.raises(ValueError):
+        B.renyi_entropy(uniform, alpha=1.0)
+
+
+# ---------------------------------------------------------------------------
+# bootstrap engine
+# ---------------------------------------------------------------------------
+
+def test_bootstrap_schema_and_sanity(preds):
+    gt, probs, _ = preds
+    res = B.compute_bootstrap_metrics(gt, probs, n_bootstrap=100, top_n=2)
+    for key in ("accuracy", "balanced_accuracy", "roc_auc", "pr_auc", "mcc",
+                "ece", "mce", "brier_score", "softmax_entropy", "gini",
+                "renyi", "macro_f1", "macro_prec", "macro_sens",
+                "top_2_accuracy", "top_2_balanced_accuracy"):
+        node = res[key]
+        assert node["lower"] <= node["mean"] <= node["upper"], key
+        assert len(node["samples"]) == 100
+    for key in ("precision", "recall", "f1", "brier_class", "top_2_f1"):
+        assert set(res[key].keys()) == {0, 1, 2}
+    # point estimates close to non-bootstrap values
+    from vsn_tpu.train import metrics as M
+
+    direct = M.accuracy(gt, probs.argmax(1))
+    assert abs(res["accuracy"]["mean"] - direct) < 0.05
+    assert res["top_2_accuracy"]["mean"] >= res["accuracy"]["mean"]
+
+
+def test_bootstrap_matches_sklearn_point_estimates(preds):
+    """The per-iteration kernel must agree with sklearn on a fixed resample."""
+    import sklearn.metrics as skm
+    from sklearn.preprocessing import label_binarize
+
+    gt, probs, _ = preds
+    pred = probs.argmax(1)
+    row = B._iteration_metrics(gt, pred, probs, 3, [])
+    assert np.isclose(row["accuracy"], skm.accuracy_score(gt, pred))
+    assert np.isclose(
+        row["balanced_accuracy"], skm.balanced_accuracy_score(gt, pred)
+    )
+    assert np.isclose(row["mcc"], skm.matthews_corrcoef(gt, pred))
+    gt_bin = label_binarize(gt, classes=range(3))
+    assert np.isclose(
+        row["roc_auc"],
+        skm.roc_auc_score(gt_bin, probs, average="weighted", multi_class="ovr"),
+        atol=1e-10,
+    )
+    assert np.isclose(
+        row["pr_auc"],
+        skm.average_precision_score(gt_bin, probs, average="weighted"),
+        atol=1e-10,
+    )
+    report = skm.classification_report(gt, pred, labels=range(3),
+                                       output_dict=True, zero_division=0)
+    for c in range(3):
+        assert np.isclose(row["precision"][c], report[str(c)]["precision"])
+        assert np.isclose(row["recall"][c], report[str(c)]["recall"])
+        assert np.isclose(row["f1"][c], report[str(c)]["f1-score"])
+
+
+def test_bootstrap_rare_class_fallback():
+    """A class with one sample must still appear in every resample."""
+    gt = np.array([0] * 50 + [1] * 50 + [2])
+    rng = np.random.default_rng(0)
+    probs = np.full((101, 3), 1 / 3)
+    res = B.compute_bootstrap_metrics(gt, probs, n_bootstrap=20)
+    assert np.isfinite(res["balanced_accuracy"]["mean"])
+
+
+def test_bootstrap_deterministic(preds):
+    gt, probs, _ = preds
+    a = B.compute_bootstrap_metrics(gt, probs, n_bootstrap=10, random_state=7)
+    b = B.compute_bootstrap_metrics(gt, probs, n_bootstrap=10, random_state=7)
+    np.testing.assert_array_equal(a["accuracy"]["samples"],
+                                  b["accuracy"]["samples"])
+
+
+# ---------------------------------------------------------------------------
+# TTA
+# ---------------------------------------------------------------------------
+
+def test_tta_views_count_and_shapes():
+    x = jnp.ones((2, 8, 8, 8, 1))
+    views_fn, n = make_tta_views(num_samples=5)
+    assert n == 8
+    v = views_fn(x, jax.random.key(0))
+    assert v.shape == (2, 8, 8, 8, 8, 1)
+    # identity view is exact
+    np.testing.assert_array_equal(np.asarray(v[:, 0]), np.asarray(x))
+    # flip view
+    np.testing.assert_array_equal(
+        np.asarray(v[:, 1]), np.asarray(jnp.flip(x, axis=1))
+    )
+    views_fn2, n2 = make_tta_views(num_samples=2, use_flip=False,
+                                   use_scaled_center_crop=False)
+    assert n2 == 3
+
+
+def test_entropy_weighted_average():
+    confident = jnp.array([[0.98, 0.01, 0.01]])
+    uncertain = jnp.array([[0.4, 0.3, 0.3]])
+    probs = jnp.stack([confident, uncertain], axis=1)  # [1, 2, 3]
+    out = np.asarray(entropy_weighted_average(probs, True))[0]
+    uniform = np.asarray(entropy_weighted_average(probs, False))[0]
+    # entropy weighting pulls towards the confident view
+    assert out[0] > uniform[0]
+    np.testing.assert_allclose(out.sum(), 1.0, rtol=1e-5)
+
+
+def test_tta_predictor_runs():
+    from flax import linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic=True):
+            x = x.reshape(x.shape[0], -1)
+            return nn.Dense(3)(x)
+
+    model = Tiny()
+    x = jnp.ones((2, 8, 8, 8, 1))
+    variables = model.init(jax.random.key(0), x, True)
+    predict, n_views = make_tta_predictor(model, num_samples=2)
+    probs = predict(variables, x, jax.random.key(1))
+    assert probs.shape == (2, 3)
+    np.testing.assert_allclose(np.asarray(probs).sum(1), 1.0, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# calibration
+# ---------------------------------------------------------------------------
+
+def test_temperature_scaling_recovers_temperature():
+    rng = np.random.default_rng(0)
+    n, k = 5000, 4
+    true_logits = rng.standard_normal((n, k)) * 2
+    probs = np.exp(true_logits) / np.exp(true_logits).sum(1, keepdims=True)
+    labels = np.array([rng.choice(k, p=p) for p in probs])
+    overconfident = true_logits * 2.5  # equivalent to T=2.5 miscalibration
+    ts = TemperatureScaling().fit(overconfident, labels)
+    assert 2.0 < ts.temperature < 3.0
+    calibrated = ts.transform(overconfident)
+    ece_before = B.compute_ece(labels, np.exp(overconfident) /
+                               np.exp(overconfident).sum(1, keepdims=True))
+    ece_after = B.compute_ece(labels, calibrated)
+    assert ece_after < ece_before
+
+
+def test_platt_and_isotonic(preds):
+    gt, probs, logits = preds
+    for cal, arg in ((PlattScaling(), logits), (IsotonicCalibration(), probs)):
+        cal.fit(arg, gt)
+        out = cal.transform(arg)
+        assert out.shape == probs.shape
+        np.testing.assert_allclose(out.sum(1), 1.0, rtol=1e-6)
+        # calibrated predictions should not be wildly worse
+        assert (out.argmax(1) == gt).mean() > 0.5
+
+
+def test_make_calibrator():
+    assert isinstance(make_calibrator("temperature"), TemperatureScaling)
+    assert isinstance(make_calibrator("platt"), PlattScaling)
+    assert isinstance(make_calibrator("isotonic"), IsotonicCalibration)
+    with pytest.raises(KeyError):
+        make_calibrator("nope")

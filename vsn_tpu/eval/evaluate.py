@@ -1,0 +1,239 @@
+"""Evaluation driver: checkpoints -> predictions CSVs + bootstrap metrics.
+
+Functional parity with reference eval/eval_transformer.py: per checkpoint,
+rebuild the model from its stored config, load weights, evaluate the fold's
+validation and test (in-domain) splits plus an optional out-of-domain CSV,
+with plain or TTA inference; compute bootstrap CIs; write
+``prediction_{checkpoint_stem}_{id,od}.csv`` with per-class ``pred_{disease}``
+columns (eval_transformer.py:457-467, 619-620, 731-773) and a metrics JSON;
+skip work when prediction CSVs already exist (622-632).
+
+Simplifications vs the reference: run configs are read from the checkpoint
+meta (stored by the trainer) instead of recovered from W&B run dirs via
+filename regexes; metrics go to JSON files instead of W&B artifact tables.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import jax
+import jax.numpy as jnp
+
+from vsn_tpu.config import Config
+from vsn_tpu.data.augment import build_eval_transform
+from vsn_tpu.data.folds import get_train_val_test, load_metadata
+from vsn_tpu.data.pipeline import EvalPipeline, InMemoryDataset
+from vsn_tpu.data.preprocessing import DataPrepa
+from vsn_tpu.eval.bootstrap import compute_bootstrap_metrics
+from vsn_tpu.eval.tta import make_tta_predictor
+from vsn_tpu.models import build_model
+from vsn_tpu.parallel import mesh as meshlib
+from vsn_tpu.train import checkpoint as ckpt
+from vsn_tpu.train.step import make_eval_step
+
+log = logging.getLogger("vsn_tpu.eval")
+
+
+def load_model_from_checkpoint(path):
+    """Returns (cfg, model, variables, meta)."""
+    payload, meta = ckpt.load_checkpoint(path)
+    if "config" not in meta:
+        raise ValueError(f"{path}: checkpoint meta carries no config")
+    cfg = Config(meta["config"])
+    model = build_model(cfg)
+    if "variables" in payload:
+        variables = payload["variables"]
+    else:  # 'last' checkpoints carry the raw train state
+        st = payload["state"]
+        variables = {"params": st["params"], **st["model_state"]}
+    return cfg, model, variables, meta
+
+
+class Evaluator:
+    """Batched (optionally TTA) inference over a dataset."""
+
+    def __init__(self, cfg, model, use_tta: bool = False, batch_size=None,
+                 mesh=None, tta_kwargs=None, seed: int = 0):
+        self.cfg = cfg
+        self.mesh = mesh or meshlib.make_mesh()
+        self.batch_size = meshlib.pad_batch_to_multiple(
+            int(batch_size or cfg.BATCH_SIZE), self.mesh.size
+        )
+        transform = build_eval_transform(cfg)
+        self.use_tta = use_tta
+        self.rng = jax.random.key(seed)
+        if use_tta:
+            predict, self.n_views = make_tta_predictor(
+                model, eval_transform=transform, **(tta_kwargs or {})
+            )
+            self._run = jax.jit(predict)
+        else:
+            eval_step = make_eval_step(model)
+            self._run = jax.jit(
+                lambda variables, images: eval_step(variables, transform(images))
+            )
+
+    def predict_dataset(self, variables, dataset):
+        """Returns (probs [N, K], gt_onehot [N, K])."""
+        pipeline = EvalPipeline(dataset, self.batch_size)
+        probs_all, gt_all = [], []
+        for i, (images, labels, valid) in enumerate(pipeline):
+            images = meshlib.shard_eval_batch(jnp.asarray(images), self.mesh)
+            if self.use_tta:
+                probs = self._run(
+                    variables, images, jax.random.fold_in(self.rng, i)
+                )
+            else:
+                probs = self._run(variables, images)
+            probs = np.asarray(probs)
+            probs_all.append(probs[valid])
+            gt_all.append(labels[valid])
+        return np.concatenate(probs_all), np.concatenate(gt_all)
+
+
+def attach_predictions(metadata: pd.DataFrame, probs: np.ndarray, diseases):
+    """metadata + pred_{disease} columns (reference 457-467)."""
+    df = metadata.reset_index(drop=True).copy()
+    for i, d in enumerate(diseases):
+        df[f"pred_{d}"] = probs[:, i]
+    return df
+
+
+def _bootstrap_summary(probs, gt_onehot, n_bootstrap, seed=42):
+    gt = gt_onehot.argmax(1)
+    results = compute_bootstrap_metrics(
+        gt, probs, n_bootstrap=n_bootstrap, random_state=seed, keep_samples=False
+    )
+
+    def strip(node):
+        if isinstance(node, dict) and "mean" in node:
+            return {k: v for k, v in node.items() if k != "samples"}
+        if isinstance(node, dict):
+            return {str(k): strip(v) for k, v in node.items()}
+        return node
+
+    return strip(results)
+
+
+def evaluate_checkpoint(
+    checkpoint_path,
+    csv_dir: str,
+    cache_dir: str,
+    output_dir: str,
+    eval_csv: str | None = None,
+    use_tta: bool = False,
+    batch_size: int | None = None,
+    n_bootstrap: int = 10000,
+    skip_if_exists: bool = True,
+    model_index: int | None = None,
+    seed: int = 42,
+) -> dict:
+    checkpoint_path = Path(checkpoint_path)
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    stem = checkpoint_path.stem
+    out_id = output_dir / f"prediction_{stem}_id.csv"
+    out_od = output_dir / f"prediction_{stem}_od.csv"
+    out_metrics = output_dir / f"metrics_{stem}.json"
+
+    if skip_if_exists and out_id.exists() and (
+        eval_csv is None or out_od.exists()
+    ):
+        log.info("skip %s: predictions exist", stem)
+        return {"skipped": True, "id_csv": str(out_id)}
+
+    cfg, model, variables, meta = load_model_from_checkpoint(checkpoint_path)
+    diseases = list(cfg.DISEASES)
+    fold = int(meta.get("fold", cfg.FOLD))
+
+    _, meta_val, meta_test, meta_all = get_train_val_test(
+        csv_dir, fold=fold, kfold=int(cfg.KFOLD), split=tuple(cfg.SPLIT)
+    )
+    DataPrepa(meta_all, cache_dir).preprocess_data(crop=tuple(cfg.IMG_SIZE))
+
+    evaluator = Evaluator(cfg, model, use_tta=use_tta, batch_size=batch_size,
+                          seed=seed)
+    results = {"checkpoint": str(checkpoint_path), "fold": fold,
+               "use_tta": use_tta, "model_index": model_index}
+
+    meta_val = meta_val[meta_val.Diagnosis.isin(diseases)].reset_index(drop=True)
+    meta_test = meta_test[meta_test.Diagnosis.isin(diseases)].reset_index(
+        drop=True
+    )
+    ds_val = InMemoryDataset(cache_dir, meta_val, diseases)
+    ds_test = InMemoryDataset(cache_dir, meta_test, diseases)
+
+    val_probs, val_gt = evaluator.predict_dataset(variables, ds_val)
+    results["val"] = _bootstrap_summary(val_probs, val_gt, n_bootstrap, seed)
+
+    test_probs, test_gt = evaluator.predict_dataset(variables, ds_test)
+    results["test_id"] = _bootstrap_summary(test_probs, test_gt, n_bootstrap,
+                                            seed)
+    attach_predictions(meta_test, test_probs, diseases).to_csv(
+        out_id, index=False
+    )
+
+    if eval_csv is not None:
+        meta_od = load_metadata(eval_csv)
+        DataPrepa(meta_od, cache_dir).preprocess_data(crop=tuple(cfg.IMG_SIZE))
+        meta_od_known = meta_od[meta_od.Diagnosis.isin(diseases)].reset_index(
+            drop=True
+        )
+        ds_od = InMemoryDataset(cache_dir, meta_od_known, diseases)
+        od_probs, od_gt = evaluator.predict_dataset(variables, ds_od)
+        results["test_od"] = _bootstrap_summary(od_probs, od_gt, n_bootstrap,
+                                                seed)
+        attach_predictions(meta_od_known, od_probs, diseases).to_csv(
+            out_od, index=False
+        )
+
+    with open(out_metrics, "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    results["id_csv"] = str(out_id)
+    return results
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    p = argparse.ArgumentParser(description="vsn_tpu evaluator")
+    p.add_argument("--checkpoints", nargs="+", required=True)
+    p.add_argument("--training-csv-dir", required=True)
+    p.add_argument("--intermediate-dir", required=True)
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--eval-csv", default=None, help="out-of-domain cohort CSV")
+    p.add_argument("--use-tta", action="store_true")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--num-bootstrap", type=int, default=10000)
+    p.add_argument("--no-skip", action="store_true")
+    args = p.parse_args(argv)
+
+    out = []
+    for i, c in enumerate(args.checkpoints):
+        out.append(
+            evaluate_checkpoint(
+                c,
+                csv_dir=args.training_csv_dir,
+                cache_dir=args.intermediate_dir,
+                output_dir=args.output_dir,
+                eval_csv=args.eval_csv,
+                use_tta=args.use_tta,
+                batch_size=args.batch_size,
+                n_bootstrap=args.num_bootstrap,
+                skip_if_exists=not args.no_skip,
+                model_index=i,
+            )
+        )
+    print(json.dumps([
+        {k: v for k, v in r.items() if not isinstance(v, dict)} for r in out
+    ], default=float))
+    return out
+
+
+if __name__ == "__main__":
+    main()

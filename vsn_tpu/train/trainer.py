@@ -212,6 +212,10 @@ def train_fold(
             "es_best_step": es_best_step,
             "val_metrics": val_metrics,
             "architecture": cfg.ARCHITECTURE,
+            # full merged config rides in the checkpoint so eval can rebuild
+            # the exact model without the reference's filename-regex +
+            # run-dir-config recovery dance (eval_transformer.py:568-601)
+            "config": cfg.to_dict(),
         }
 
     def eval_params():
