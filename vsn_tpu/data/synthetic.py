@@ -82,3 +82,53 @@ def generate_synthetic_dataset(
     for k in range(kfold):
         df.iloc[k::kfold].to_csv(csv_dir / f"fold_{k}.csv", index=False)
     return raw_dir, csv_dir
+
+
+def generate_synthetic_svm_dataset(
+    root: str | Path,
+    n_subjects: int = 40,
+    shape=(16, 16, 16),
+    diseases=("CN", "AD", "FTD"),
+    kfold: int = 10,
+    seed: int = 0,
+    dataset_name: str = "SYNTH",
+):
+    """Synthetic SLANT-like segmentations for the SVM vertical: per subject a
+    label volume drawn from class-dependent region proportions (so region
+    volume fractions separate the classes) plus a full mask. CSVs carry
+    Subject/Diagnosis/Dataset/Seg_path/Mask_path."""
+    from vsn_tpu.svm.features import SLANT_LABEL_IDS
+    from vsn_tpu.utils import nifti
+
+    root = Path(root)
+    raw_dir = root / "raw_svm"
+    csv_dir = root / "folds_svm"
+    raw_dir.mkdir(parents=True, exist_ok=True)
+    csv_dir.mkdir(parents=True, exist_ok=True)
+
+    rng = np.random.default_rng(seed)
+    labels = SLANT_LABEL_IDS
+    rows = []
+    for i in range(n_subjects):
+        subject = f"synthsvm-{i:04d}"
+        cls = i % len(diseases)
+        # class-dependent Dirichlet concentration: each class inflates a
+        # different subset of regions
+        conc = np.ones(len(labels))
+        conc[cls::len(diseases)] = 8.0
+        proportions = rng.dirichlet(conc)
+        seg = rng.choice(labels, size=shape, p=proportions).astype(np.int16)
+        mask = np.ones(shape, np.float32)
+        seg_path = raw_dir / f"{subject}_seg.nii.gz"
+        mask_path = raw_dir / f"{subject}_mask.nii.gz"
+        nifti.save(seg, seg_path)
+        nifti.save(mask, mask_path)
+        rows.append(dict(Subject=subject, Diagnosis=diseases[cls],
+                         Dataset=dataset_name, Seg_path=str(seg_path),
+                         Mask_path=str(mask_path)))
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=seed).reset_index(
+        drop=True
+    )
+    for k in range(kfold):
+        df.iloc[k::kfold].to_csv(csv_dir / f"fold_{k}.csv", index=False)
+    return raw_dir, csv_dir

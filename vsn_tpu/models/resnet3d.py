@@ -170,11 +170,15 @@ class ResNet3D(nn.Module):
         return logits
 
 
-def resnet_from_config(cfg, dtype=jnp.float32, variant: str = "resnet18"):
+def resnet_from_config(cfg, dtype=jnp.float32, variant: str | None = None):
     """ResNet3DMedical equivalent: the IMG_SIZE->sample_size mapping of the
     reference wrapper (resnet_3d.py:269-323) only parameterized legacy
     fixed-size pooling; with mean pooling it is shape-agnostic. Head dropout
-    comes from DROPOUT (configs/resnet-*: 0.1)."""
+    comes from DROPOUT (configs/resnet-*: 0.1). The variant defaults to
+    resnet18 like the reference trainer (train_transformer.py:2078) but is
+    overridable via the RESNET_VARIANT config key (the reference exposes
+    resnet10..200 factories, resnet_3d.py:224-357)."""
+    variant = variant or cfg.get("RESNET_VARIANT", "resnet18")
     block, layers = RESNET_LAYERS[variant]
     return ResNet3D(
         block=block,

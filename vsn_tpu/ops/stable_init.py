@@ -53,6 +53,65 @@ def normal_init(std: float):
     return nn.initializers.normal(stddev=std)
 
 
+def verify_stable_init(
+    model, variables, x, block_filter: str = "block", rtol: float = 0.5
+):
+    """Forward-variance self-verification (reference utils/stable_init.py:
+    303-393): capture per-block outputs and check their variance stays within
+    (1 ± rtol) of unity across depth. Returns (ok, {block_name: variance})."""
+    import jax.numpy as jnp
+
+    _, intermediates = model.apply(
+        variables, x, True, capture_intermediates=True, mutable=["intermediates"]
+    )
+
+    variances = {}
+
+    def walk(tree, prefix=""):
+        for key, value in tree.items():
+            path = f"{prefix}/{key}" if prefix else key
+            if isinstance(value, dict):
+                walk(value, path)
+            elif key == "__call__":
+                out = value[0]
+                if hasattr(out, "shape") and getattr(out, "ndim", 0) >= 2:
+                    if block_filter in prefix:
+                        variances[prefix] = float(
+                            jnp.var(out.astype(jnp.float32))
+                        )
+
+    walk(intermediates["intermediates"])
+    block_vars = {
+        k: v for k, v in variances.items()
+        if k.count("/") == 0  # top-level blocks only
+    } or variances
+    ok = all(abs(v - 1.0) <= rtol for v in block_vars.values())
+    return ok, block_vars
+
+
+def verify_stable_gradients(loss_fn, variables, max_ratio: float = 3.0):
+    """Gradient-norm balance check (reference utils/stable_init.py:396-449):
+    the ratio of the largest to smallest per-top-level-module gradient norm
+    must stay below ``max_ratio`` at init. Returns (ok, {module: norm})."""
+    import jax
+    import jax.numpy as jnp
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    norms = {}
+    for key, sub in grads.items():
+        leaves = jax.tree.leaves(sub)
+        if leaves:
+            norms[key] = float(
+                jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
+                             for l in leaves))
+            )
+    nonzero = [v for v in norms.values() if v > 0]
+    if not nonzero:
+        return False, norms
+    ok = max(nonzero) / min(nonzero) <= max_ratio
+    return ok, norms
+
+
 def stable_qkv_init(d_in: int, dropout_prob: float = 0.0):
     """Initializer for a fused QKV kernel of shape (d_in, 3*d_inner).
 

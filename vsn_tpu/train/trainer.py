@@ -281,6 +281,39 @@ def train_fold(
                          step, es_metric, es_best, es_best_step)
                 stopped_early = True
 
+    # EMA + BatchNorm: re-estimate running stats under the EMA weights with
+    # train-mode forwards over the training data (reference
+    # EMAModel.update_bn_stats, utils/ema.py:144-178; invoked at
+    # train_transformer.py:1495-1499).
+    if (
+        cfg.USE_EMA
+        and cfg.get("UPDATE_BN_STATS", True)
+        and state.ema is not None
+        and "batch_stats" in state.model_state
+        and state.model_state["batch_stats"]
+    ):
+        from vsn_tpu.train.step import make_bn_refresh_step
+
+        log.info("refreshing BN statistics under EMA weights")
+        refresh = jax.jit(
+            make_bn_refresh_step(model, cfg, make_batch_transform(cfg))
+        )
+        ema_tree = state.ema.ema
+        mstate = ema_tree["model_state"]
+        refresh_key = rnglib.component_key(rnglib.base_key(seed), "val")
+        for i, batch in zip(range(pipe.steps_per_epoch()), pipe):
+            batch = meshlib.shard_train_batch(batch, mesh)
+            mstate = refresh(
+                ema_tree["params"], mstate, batch,
+                jax.random.fold_in(refresh_key, i),
+            )
+        new_ema_tree = {"params": ema_tree["params"], "model_state": mstate}
+        state = state._replace(ema=state.ema._replace(ema=new_ema_tree))
+        saver.submit(
+            save_dir / f"model_{run_id}_{fold}_last.ckpt",
+            checkpoint_payload(), checkpoint_meta(step),
+        )
+
     metrics_log.close()
     saver.close()
     return {
