@@ -111,15 +111,17 @@ def relative_position_index(window: Tuple[int, int, int]) -> np.ndarray:
     return rel.sum(-1).astype(np.int32)
 
 
-def shifted_window_mask(
+def shifted_window_region_ids(
     dims: Tuple[int, int, int],
     window: Tuple[int, int, int],
     shift: Tuple[int, int, int],
+    pad_to: int | None = None,
 ) -> np.ndarray:
-    """Additive attention mask [nW, N, N] for shifted windows, built at trace
-    time. Voxels get a region id per axis (0: untouched, 1: wrapped window
-    tail, 2: wrapped shift tail); only same-id pairs attend. Equivalent to the
-    reference's cnt-slices construction (swin_transformer_3d.py:463-492)."""
+    """Per-window voxel region ids [nW, N] built at trace time. Voxels get a
+    region id per axis (0: untouched, 1: wrapped window tail, 2: wrapped
+    shift tail); only same-id pairs may attend. With ``pad_to``, token
+    positions beyond N are padded with -1 (they mask against every real id —
+    consumed by the Pallas kernel)."""
 
     def axis_regions(size, win, sh):
         r = np.zeros(size, np.int64)
@@ -139,6 +141,24 @@ def shifted_window_mask(
     d, h, w = dims
     region = region.reshape(d // wd, wd, h // wh, wh, w // ww, ww)
     region = region.transpose(0, 2, 4, 1, 3, 5).reshape(-1, wd * wh * ww)
+    region = region.astype(np.int32)
+    if pad_to is not None and pad_to > region.shape[1]:
+        region = np.pad(
+            region, [(0, 0), (0, pad_to - region.shape[1])],
+            constant_values=-1,
+        )
+    return region
+
+
+def shifted_window_mask(
+    dims: Tuple[int, int, int],
+    window: Tuple[int, int, int],
+    shift: Tuple[int, int, int],
+) -> np.ndarray:
+    """Additive attention mask [nW, N, N] derived from the region ids —
+    equivalent to the reference's cnt-slices construction
+    (swin_transformer_3d.py:463-492)."""
+    region = shifted_window_region_ids(dims, window, shift)
     diff = region[:, :, None] != region[:, None, :]
     return np.where(diff, -100.0, 0.0).astype(np.float32)
 
@@ -149,7 +169,15 @@ def shifted_window_mask(
 
 class WindowAttention3D(nn.Module):
     """Window MSA with 3D relative-position bias
-    (reference swin_transformer_3d.py:106-199)."""
+    (reference swin_transformer_3d.py:106-199).
+
+    ``region_ids`` [W, N] (int32, W=nW for shifted layers, None otherwise)
+    encodes the shifted-window mask; with ``use_pallas`` the whole
+    bias+mask+softmax+PV pipeline runs in the fused VMEM kernel
+    (vsn_tpu/ops/window_attention.py) — dropout on attention probabilities is
+    only supported on the XLA path (ATTENTION_DROPOUT defaults to 0,
+    config-defaults.yaml:68-70).
+    """
 
     window: Tuple[int, int, int]
     num_heads: int
@@ -158,10 +186,12 @@ class WindowAttention3D(nn.Module):
     proj_drop: float = 0.0
     dtype: jnp.dtype = jnp.float32
     enable_stable: bool = False
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jax.Array], deterministic: bool = True):
-        # x: [B*nW, N, C]; mask: [nW, N, N] additive or None
+    def __call__(self, x, region_ids: Optional[jax.Array],
+                 deterministic: bool = True):
+        # x: [B*nW, N, C]
         bnw, n, c = x.shape
         head_dim = c // self.num_heads
         scale = head_dim**-0.5
@@ -194,25 +224,53 @@ class WindowAttention3D(nn.Module):
             return t.reshape(bnw, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = map(split_heads, (q, k, v))
-        attn = jnp.einsum(
-            "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
-        ) * scale
-
         bias = bias_table[rel_idx.reshape(-1)].reshape(n, n, self.num_heads)
-        attn = attn + bias.transpose(2, 0, 1)[None]
+        bias = bias.transpose(2, 0, 1)  # [H, N, N]
 
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(bnw // nw, nw, self.num_heads, n, n)
-            attn = attn + mask[None, :, None]
-            attn = attn.reshape(bnw, self.num_heads, n, n)
+        use_pallas = (
+            self.use_pallas
+            and (deterministic or self.attn_drop == 0.0)
+            and jax.devices()[0].platform == "tpu"
+        )
+        if use_pallas:
+            from vsn_tpu.ops.window_attention import fused_window_attention
 
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum(
-            "bhij,bhjd->bhid", attn.astype(v.dtype), v,
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+            np_ = -(-n // 128) * 128  # pad tokens to a lane multiple
+            pad = np_ - n
+            if region_ids is None:
+                ids = jnp.zeros((1, n), jnp.int32)
+            else:
+                ids = region_ids.astype(jnp.int32)
+            if pad:
+                q, k, v = (
+                    jnp.pad(t, [(0, 0), (0, 0), (0, pad), (0, 0)])
+                    for t in (q, k, v)
+                )
+                bias = jnp.pad(bias, [(0, 0), (0, pad), (0, pad)])
+                ids = jnp.pad(ids, [(0, 0), (0, pad)], constant_values=-1)
+            out = fused_window_attention(q, k, v, bias, ids, scale)
+            out = out[:, :, :n, :]
+        else:
+            attn = jnp.einsum(
+                "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            attn = attn + bias[None]
+            if region_ids is not None:
+                nw = region_ids.shape[0]
+                mask = jnp.where(
+                    region_ids[:, :, None] != region_ids[:, None, :],
+                    -100.0, 0.0,
+                ).astype(jnp.float32)
+                attn = attn.reshape(bnw // nw, nw, self.num_heads, n, n)
+                attn = attn + mask[None, :, None]
+                attn = attn.reshape(bnw, self.num_heads, n, n)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+            out = jnp.einsum(
+                "bhij,bhjd->bhid", attn.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            )
+        out = out.astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
 
         proj_init = (
@@ -246,10 +304,12 @@ class SwinBlock3D(nn.Module):
     enable_stable: bool = False
     stable_lam: float = 1.0
     stable_beta: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jax.Array], deterministic: bool = True):
+    def __call__(self, x, region_ids: Optional[jax.Array],
+                 deterministic: bool = True):
         b, d, h, w, c = x.shape
         norm_ctor = make_norm(self.norm_layer, self.dtype)
         residual_kw = dict(
@@ -281,8 +341,9 @@ class SwinBlock3D(nn.Module):
             proj_drop=self.dropout,
             dtype=self.dtype,
             enable_stable=self.enable_stable,
+            use_pallas=self.use_pallas,
             name="attn",
-        )(windows, mask if shifted else None, deterministic)
+        )(windows, region_ids if shifted else None, deterministic)
         attn_out = window_reverse(attn_windows, self.window, (d, h, w))
         if shifted:
             attn_out = jnp.roll(attn_out, shift=self.shift, axis=(1, 2, 3))
@@ -366,6 +427,7 @@ class BasicLayer3D(nn.Module):
     enable_stable: bool = False
     stable_lam: float = 1.0
     stable_beta: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -382,9 +444,11 @@ class BasicLayer3D(nn.Module):
         dims_p = (d + pad[0], h + pad[1], w + pad[2])
 
         if any(s > 0 for s in shift):
-            mask = jnp.asarray(shifted_window_mask(dims_p, window, shift))
+            region_ids = jnp.asarray(
+                shifted_window_region_ids(dims_p, window, shift)
+            )
         else:
-            mask = None
+            region_ids = None
 
         block_cls = SwinBlock3D
         if self.use_checkpoint:
@@ -392,6 +456,7 @@ class BasicLayer3D(nn.Module):
         for i in range(self.depth):
             blk_shift = tuple(0 for _ in window) if i % 2 == 0 else shift
             x = block_cls(
+                use_pallas=self.use_pallas,
                 num_heads=self.num_heads,
                 window=window,
                 shift=blk_shift,
@@ -411,7 +476,7 @@ class BasicLayer3D(nn.Module):
                 stable_beta=self.stable_beta,
                 dtype=self.dtype,
                 name=f"block{i}",
-            )(x, mask, deterministic)
+            )(x, region_ids, deterministic)
 
         x = x[:, :d, :h, :w, :]
         if self.downsample:
@@ -447,6 +512,7 @@ class SwinTransformer3D(nn.Module):
     shakedrop_alpha_range: Tuple[float, float] = (-1.0, 1.0)
     layer_scale: bool = False
     layer_scale_init_value: float = 1e-5
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -511,6 +577,7 @@ class SwinTransformer3D(nn.Module):
                 enable_stable=self.enable_stable,
                 stable_lam=stable_lam,
                 stable_beta=stable_beta,
+                use_pallas=self.use_pallas,
                 dtype=self.dtype,
                 name=f"layer{i}",
             )(x, deterministic)
@@ -550,5 +617,6 @@ def swin_from_config(cfg, dtype=jnp.float32) -> SwinTransformer3D:
         shakedrop_alpha_range=tuple(cfg.SHAKEDROP_ALPHA_RANGE),
         layer_scale=bool(cfg.LAYER_SCALE),
         layer_scale_init_value=float(cfg.LAYER_SCALE_INIT_VALUE),
+        use_pallas=bool(cfg.get("USE_PALLAS_ATTENTION", True)),
         dtype=dtype,
     )

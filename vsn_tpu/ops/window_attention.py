@@ -1,0 +1,225 @@
+"""Fused Pallas window-attention kernel for Swin-3D.
+
+The hot kernel of the framework (SURVEY.md §3.4: WindowAttention3D is the
+training hot spot). The XLA path materializes the [B*nW, H, N, N] attention
+matrix in HBM between the two matmuls — for Swin-T stage 1 that is ~1.3 GB of
+f32 per micro-batch, making the block HBM-bandwidth-bound. This kernel
+computes softmax(q k^T * scale + rel-pos-bias + shift-mask) v entirely in
+VMEM per (window, head) program:
+
+  * grid (H, BW) — TPU Pallas grids execute sequentially per core, which
+    lets the backward accumulate d(bias) into a single [N, N] block across
+    the BW-innermost iterations (standard revisiting-output pattern);
+  * the shifted-window mask is never materialized: programs receive the
+    per-window REGION IDS [W, N] (int32, ~55 KB for all of stage 1) and
+    compare ids on the fly — voxels from different wrapped regions get -1e9;
+  * N (window volume, 252 for [6,7,6]) is padded to a lane multiple (256) by
+    the caller; padded key columns carry id -1 so they mask out against any
+    real region id >= 0;
+  * full custom VJP: dq, dk, dv per program plus the accumulated bias grad,
+    recomputing the [N, N] probabilities in VMEM instead of ever writing
+    them to HBM.
+
+Falls back to interpret mode off-TPU (tests run on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+def _mask_from_ids(ids_row: jax.Array) -> jax.Array:
+    """[N] int32 -> additive [N, N] f32 mask (different region => -1e9)."""
+    diff = ids_row[:, None] != ids_row[None, :]
+    return jnp.where(diff, NEG_INF, 0.0).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _head_group(h: int) -> int:
+    """Heads per program: amortizes the mask build and program launches while
+    keeping VMEM (g * [N,N] f32 intermediates + g bias blocks) comfortable."""
+    for g in (4, 3, 2, 1):
+        if h % g == 0:
+            return g
+    return 1
+
+
+def _fwd_kernel(ids_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, g):
+    ids = ids_ref[0, 0]                           # [N]
+    mask = _mask_from_ids(ids)                    # built once per program
+    for j in range(g):
+        q = q_ref[0, j].astype(jnp.float32)       # [N, D]
+        k = k_ref[0, j].astype(jnp.float32)
+        v = v_ref[0, j].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale                                 # [N, N]
+        s = s + bias_ref[j] + mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        out_ref[0, j] = out.astype(out_ref.dtype)
+
+
+def _fwd(q, k, v, bias, ids, scale):
+    bw, h, n, d = q.shape
+    w = ids.shape[0]
+    g = _head_group(h)
+    ids3 = ids.reshape(w, 1, n)  # (1, 1, n) blocks satisfy TPU tiling rules
+    grid = (h // g, bw)
+    qkv_spec = pl.BlockSpec(
+        (1, g, n, d), lambda hi, bi: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, g=g),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, n), lambda hi, bi: (bi % w, 0, 0),
+                         memory_space=pltpu.VMEM),
+            qkv_spec, qkv_spec, qkv_spec,
+            pl.BlockSpec((g, n, n), lambda hi, bi: (hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=not _on_tpu(),
+    )(ids3, q, k, v, bias)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(ids_ref, q_ref, k_ref, v_ref, bias_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dbias_ref, *, scale, g):
+    bi = pl.program_id(1)
+    mask = _mask_from_ids(ids_ref[0, 0])
+
+    # dbias[h] = sum over bw of ds — bw is the innermost grid dim, so the
+    # same output block is revisited; initialize on the first visit.
+    @pl.when(bi == 0)
+    def _():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    for j in range(g):
+        q = q_ref[0, j].astype(jnp.float32)
+        k = k_ref[0, j].astype(jnp.float32)
+        v = v_ref[0, j].astype(jnp.float32)
+        do = do_ref[0, j].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = s + bias_ref[j] + mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+        # dv = p^T do ; dp = do v^T ; ds = p * (dp - rowsum(p*dp))
+        dv = jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+
+        dq_ref[0, j] = dq.astype(dq_ref.dtype)
+        dk_ref[0, j] = dk.astype(dk_ref.dtype)
+        dv_ref[0, j] = dv.astype(dv_ref.dtype)
+        dbias_ref[j] += ds
+
+
+def _bwd(scale, res, do):
+    q, k, v, bias, ids = res
+    bw, h, n, d = q.shape
+    w = ids.shape[0]
+    g = _head_group(h)
+    grid = (h // g, bw)
+    qkv_spec = pl.BlockSpec(
+        (1, g, n, d), lambda hi, bi: (bi, hi, 0, 0), memory_space=pltpu.VMEM
+    )
+    bias_spec = pl.BlockSpec(
+        (g, n, n), lambda hi, bi: (hi, 0, 0), memory_space=pltpu.VMEM
+    )
+    ids3 = ids.reshape(w, 1, n)
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, g=g),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, n), lambda hi, bi: (bi % w, 0, 0),
+                         memory_space=pltpu.VMEM),
+            qkv_spec, qkv_spec, qkv_spec, bias_spec, qkv_spec,
+        ],
+        out_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(bias.shape, jnp.float32),
+        ),
+        interpret=not _on_tpu(),
+    )(ids3, q, k, v, bias, do)
+    return dq, dk, dv, dbias, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_window_attention(q, k, v, bias, ids, scale):
+    """softmax(q k^T * scale + bias + region-mask(ids)) v, fused in VMEM.
+
+    Args:
+        q, k, v: [BW, H, N, D] (N padded to a lane multiple; BW = B * nW).
+        bias: [H, N, N] f32 relative-position bias (pad columns arbitrary —
+            they are masked by ids).
+        ids: [W, N] int32 region ids; program bw uses row bw % W. Padded
+            positions must carry -1; unshifted layers pass a single row of
+            zeros (W=1).
+        scale: attention scale (static).
+    Returns: [BW, H, N, D] in q's dtype.
+    """
+    return _fwd(q, k, v, bias, ids, scale)
+
+
+def _fwd_vjp(q, k, v, bias, ids, scale):
+    return _fwd(q, k, v, bias, ids, scale), (q, k, v, bias, ids)
+
+
+fused_window_attention.defvjp(_fwd_vjp, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference (fallback + test oracle)
+# ---------------------------------------------------------------------------
+
+def window_attention_reference(q, k, v, bias, ids, scale):
+    """Same math via plain XLA ops (materializes the attention matrix)."""
+    bw = q.shape[0]
+    w = ids.shape[0]
+    mask = jax.vmap(_mask_from_ids)(ids)          # [W, N, N]
+    mask_full = mask[jnp.arange(bw) % w]          # [BW, N, N]
+    s = jnp.einsum("bhid,bhjd->bhij", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    s = s + bias[None] + mask_full[:, None]
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhij,bhjd->bhid", p, v.astype(jnp.float32))
+    return out.astype(q.dtype)
