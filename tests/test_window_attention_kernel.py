@@ -8,6 +8,7 @@ import pytest
 from vsn_tpu.models.swin3d import shifted_window_region_ids
 from vsn_tpu.ops.window_attention import (
     fused_window_attention,
+    fused_window_attention_qkv,
     window_attention_reference,
 )
 
@@ -85,6 +86,44 @@ def test_mask_semantics_match_swin_ids():
     ref = window_attention_reference(q, k, v, bias, ids, 0.3)
     np.testing.assert_allclose(np.asarray(out)[:, :, :8], np.asarray(ref)[:, :, :8],
                                rtol=2e-5, atol=2e-5)
+
+
+def test_fused_qkv_kernel_matches_reference():
+    """v2 kernel (fused qkv in, merged heads out) vs the oracle, including
+    the head-major channel layout and an odd (non-lane-multiple) N."""
+    bw, h, n, d, w = 4, 2, 12, 8, 2  # N=12: not a multiple of 8 or 128
+    c = h * d
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.standard_normal((bw, n, 3 * c)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((h, n, n)) * 0.1, jnp.float32)
+    ids = jnp.asarray(rng.integers(0, 2, (w, n)).astype(np.int32))
+    scale = 0.3
+
+    out = fused_window_attention_qkv(qkv, bias, ids, scale, h)
+    # oracle via the split-head reference
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    sh = lambda t: t.reshape(bw, n, h, d).transpose(0, 2, 1, 3)
+    ref = window_attention_reference(sh(q), sh(k), sh(v), bias, ids, scale)
+    ref = ref.transpose(0, 2, 1, 3).reshape(bw, n, c)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients
+    ct = jnp.asarray(rng.standard_normal((bw, n, c)), jnp.float32)
+
+    def f_fused(qkv, bias):
+        return (fused_window_attention_qkv(qkv, bias, ids, scale, h) * ct).sum()
+
+    def f_ref(qkv, bias):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        r = window_attention_reference(sh(q), sh(k), sh(v), bias, ids, scale)
+        return (r.transpose(0, 2, 1, 3).reshape(bw, n, c) * ct).sum()
+
+    gf = jax.grad(f_fused, argnums=(0, 1))(qkv, bias)
+    gr = jax.grad(f_ref, argnums=(0, 1))(qkv, bias)
+    for name, a, b in zip(("qkv", "bias"), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)
 
 
 def test_swin_model_paths_agree():

@@ -218,39 +218,38 @@ class WindowAttention3D(nn.Module):
             3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
             kernel_init=qkv_init, name="qkv",
         )(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def split_heads(t):
-            return t.reshape(bnw, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-
-        q, k, v = map(split_heads, (q, k, v))
         bias = bias_table[rel_idx.reshape(-1)].reshape(n, n, self.num_heads)
         bias = bias.transpose(2, 0, 1)  # [H, N, N]
 
+        # VMEM budget gate for the fused-qkv kernel: bias + dbias (f32)
+        # dominate; fall back to XLA above ~10 MB (only Swin-L stage 4 hits
+        # this).
+        bias_vmem = 2 * self.num_heads * n * n * 4
         use_pallas = (
             self.use_pallas
             and (deterministic or self.attn_drop == 0.0)
+            and bias_vmem < 10 * 1024 * 1024
             and jax.devices()[0].platform == "tpu"
         )
         if use_pallas:
-            from vsn_tpu.ops.window_attention import fused_window_attention
+            from vsn_tpu.ops.window_attention import fused_window_attention_qkv
 
-            np_ = -(-n // 128) * 128  # pad tokens to a lane multiple
-            pad = np_ - n
             if region_ids is None:
                 ids = jnp.zeros((1, n), jnp.int32)
             else:
                 ids = region_ids.astype(jnp.int32)
-            if pad:
-                q, k, v = (
-                    jnp.pad(t, [(0, 0), (0, 0), (0, pad), (0, 0)])
-                    for t in (q, k, v)
-                )
-                bias = jnp.pad(bias, [(0, 0), (0, pad), (0, pad)])
-                ids = jnp.pad(ids, [(0, 0), (0, pad)], constant_values=-1)
-            out = fused_window_attention(q, k, v, bias, ids, scale)
-            out = out[:, :, :n, :]
+            out = fused_window_attention_qkv(
+                qkv, bias, ids, scale, self.num_heads
+            )
         else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+            def split_heads(t):
+                return t.reshape(
+                    bnw, n, self.num_heads, head_dim
+                ).transpose(0, 2, 1, 3)
+
+            q, k, v = map(split_heads, (q, k, v))
             attn = jnp.einsum(
                 "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
             ) * scale
@@ -270,8 +269,8 @@ class WindowAttention3D(nn.Module):
                 "bhij,bhjd->bhid", attn.astype(v.dtype), v,
                 preferred_element_type=jnp.float32,
             )
+            out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
         out = out.astype(self.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(bnw, n, c)
 
         proj_init = (
             normal_init(stable_vproj_std(c, self.proj_drop))

@@ -208,6 +208,166 @@ fused_window_attention.defvjp(_fwd_vjp, _bwd)
 
 
 # ---------------------------------------------------------------------------
+# v2: fused-qkv kernel — no head-split transposes, no padding copies
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel is fast in isolation but the surrounding layout work
+# (qkv -> split -> [BW,H,N,D] transpose -> pad N to 256 -> kernel -> unpad ->
+# merge-heads transpose) moves ~5 GB of HBM per stage-1 block. v2 consumes the
+# qkv projection's raw output [BW, N, 3C] and writes merged-head [BW, N, C]
+# directly: head slicing happens on VMEM-resident data inside the kernel.
+# Blocks cover the full (N, 3C) dims, which satisfies the TPU tiling rules
+# without padding N to a lane multiple.
+
+def _fwd_qkv_kernel(ids_ref, qkv_ref, bias_ref, out_ref, *, scale, n_heads):
+    n = qkv_ref.shape[1]
+    c3 = qkv_ref.shape[2]
+    c = c3 // 3
+    d = c // n_heads
+    mask = _mask_from_ids(ids_ref[0, 0])          # [N, N], once per window
+    qkv = qkv_ref[0].astype(jnp.float32)          # [N, 3C]
+    for h in range(n_heads):
+        q = qkv[:, h * d:(h + 1) * d]
+        k = qkv[:, c + h * d:c + (h + 1) * d]
+        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = s + bias_ref[h] + mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+        out_ref[0, :, h * d:(h + 1) * d] = out.astype(out_ref.dtype)
+
+
+def _fwd_qkv(qkv, bias, ids, scale, n_heads):
+    bw, n, c3 = qkv.shape
+    c = c3 // 3
+    w = ids.shape[0]
+    ids3 = ids.reshape(w, 1, n)
+    return pl.pallas_call(
+        functools.partial(_fwd_qkv_kernel, scale=scale, n_heads=n_heads),
+        grid=(bw,),
+        in_specs=[
+            pl.BlockSpec((1, 1, n), lambda bi: (bi % w, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c3), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_heads, n, n), lambda bi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, c), lambda bi: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bw, n, c), qkv.dtype),
+        interpret=not _on_tpu(),
+    )(ids3, qkv, bias)
+
+
+def _bwd_qkv_kernel(ids_ref, qkv_ref, bias_ref, do_ref,
+                    dqkv_ref, dbias_ref, *, scale, n_heads):
+    bi = pl.program_id(0)
+    n = qkv_ref.shape[1]
+    c3 = qkv_ref.shape[2]
+    c = c3 // 3
+    d = c // n_heads
+    mask = _mask_from_ids(ids_ref[0, 0])
+    qkv = qkv_ref[0].astype(jnp.float32)
+
+    @pl.when(bi == 0)
+    def _():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    for h in range(n_heads):
+        q = qkv[:, h * d:(h + 1) * d]
+        k = qkv[:, c + h * d:c + (h + 1) * d]
+        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
+        do = do_ref[0, :, h * d:(h + 1) * d].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = s + bias_ref[h] + mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+        dv = jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+
+        dqkv_ref[0, :, h * d:(h + 1) * d] = dq.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, c + h * d:c + (h + 1) * d] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * c + h * d:2 * c + (h + 1) * d] = dv.astype(
+            dqkv_ref.dtype
+        )
+        dbias_ref[h] += ds
+
+
+def _bwd_qkv_vjp(scale, n_heads, res, do):
+    qkv, bias, ids = res
+    bw, n, c3 = qkv.shape
+    w = ids.shape[0]
+    ids3 = ids.reshape(w, 1, n)
+    dqkv, dbias = pl.pallas_call(
+        functools.partial(_bwd_qkv_kernel, scale=scale, n_heads=n_heads),
+        grid=(bw,),
+        in_specs=[
+            pl.BlockSpec((1, 1, n), lambda bi: (bi % w, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c3), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_heads, n, n), lambda bi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c3 // 3), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, c3), lambda bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_heads, n, n), lambda bi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+            jax.ShapeDtypeStruct(bias.shape, jnp.float32),
+        ),
+        interpret=not _on_tpu(),
+    )(ids3, qkv, bias, do)
+    return dqkv, dbias, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_window_attention_qkv(qkv, bias, ids, scale, n_heads):
+    """Multi-head window attention on the fused qkv projection output.
+
+    Args:
+        qkv: [BW, N, 3C] — the qkv Dense output, channel layout
+            [q_h0..q_hH | k_h0..k_hH | v_h0..v_hH] with head dim C/H.
+        bias: [H, N, N] f32 relative-position bias (unpadded).
+        ids: [W, N] int32 region ids (row bw % W); no padding required.
+        scale, n_heads: static.
+    Returns: [BW, N, C] merged-head attention output in qkv's dtype.
+    """
+    return _fwd_qkv(qkv, bias, ids, scale, n_heads)
+
+
+def _fwd_qkv_fwd(qkv, bias, ids, scale, n_heads):
+    return _fwd_qkv(qkv, bias, ids, scale, n_heads), (qkv, bias, ids)
+
+
+fused_window_attention_qkv.defvjp(_fwd_qkv_fwd, _bwd_qkv_vjp)
+
+
+# ---------------------------------------------------------------------------
 # XLA reference (fallback + test oracle)
 # ---------------------------------------------------------------------------
 
