@@ -1,0 +1,83 @@
+"""Multi-host (multi-process) runtime glue.
+
+The reference builds its process group from torchrun env vars
+(utils/distributed_training.py:11-79). The JAX equivalent is
+``jax.distributed.initialize`` — on TPU pods the coordinator/process info
+comes from the environment automatically; on other setups it can be passed
+via the same env-var contract used here.
+
+Also provides the reference's rank-conditional helpers (rank-0 printing,
+save_on_master, barrier) in multihost form.
+"""
+
+from __future__ import annotations
+
+import builtins
+import os
+
+import jax
+
+
+def maybe_initialize() -> bool:
+    """Initialize jax.distributed when a multi-process launch is detected.
+
+    Detection: JAX_COORDINATOR_ADDRESS (explicit) or cloud-TPU pod metadata
+    handled inside jax.distributed.initialize. Safe to call twice. Returns
+    True when running multi-process.
+    """
+    if jax.process_count() > 1:
+        return True
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+        return True
+    return False
+
+
+def get_rank() -> int:
+    return jax.process_index()
+
+
+def get_world_size() -> int:
+    return jax.process_count()
+
+
+def is_main_process() -> bool:
+    return jax.process_index() == 0
+
+
+def barrier(name: str = "barrier"):
+    """Cross-host sync (the reference's dist.barrier after preprocessing)."""
+    if jax.process_count() > 1:  # pragma: no cover — needs a real pod
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def setup_for_distributed(is_master: bool | None = None):
+    """Rank-0-only printing via a builtins.print patch (reference
+    distributed_training.py:82-103). ``force=True`` overrides."""
+    if is_master is None:
+        is_master = is_main_process()
+    builtin_print = builtins.print
+
+    def print_(*args, force: bool = False, **kwargs):
+        if is_master or force:
+            builtin_print(*args, **kwargs)
+
+    builtins.print = print_
+    return builtin_print
+
+
+def process_allgather(x):
+    """Gather host-local arrays across processes (eval predictions); the
+    single-process fast path returns the input."""
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils  # pragma: no cover
+
+    return multihost_utils.process_allgather(x)

@@ -113,6 +113,9 @@ def train_fold(
     run_dir.mkdir(parents=True, exist_ok=True)
     save_config(cfg, run_dir)
 
+    from vsn_tpu.parallel import distributed as dist
+
+    dist.maybe_initialize()
     mesh = mesh or meshlib.make_mesh()
     world = mesh.size
     grad_accum = cfg.gradient_accumulation_steps(world)
@@ -124,7 +127,11 @@ def train_fold(
         csv_dir, fold=fold, kfold=int(cfg.KFOLD), split=tuple(cfg.SPLIT)
     )
     prep = DataPrepa(meta_all, cache_dir)
-    prep.preprocess_data(crop=tuple(cfg.IMG_SIZE))
+    prep.preprocess_data(
+        crop=tuple(cfg.IMG_SIZE),
+        rank=dist.get_rank(), world_size=dist.get_world_size(),
+    )
+    dist.barrier("preprocessing")  # reference train_transformer.py:1606-1608
 
     diseases = list(cfg.DISEASES)
     meta_train = meta_train[meta_train.Diagnosis.isin(diseases)].reset_index(drop=True)
