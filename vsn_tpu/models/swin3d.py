@@ -531,6 +531,13 @@ class SwinTransformer3D(nn.Module):
             if self.enable_stable
             else trunc_normal_init(0.02)
         )
+        # Patch embed stays a Conv3d (k = stride = patch). A reshape+matmul
+        # patchify measured ~13% faster on isolated fwd+bwd, but inside the
+        # grad-accumulation scan its access pattern makes XLA's remat
+        # compression keep 16x-padded relayout copies of the whole scanned
+        # batch (2 x 13.3 GB -> HBM OOM). Conv keeps the saved-for-backward
+        # input in its native layout. Revisit if XLA's compressed-layout
+        # heuristic improves.
         x = nn.Conv(
             self.embed_dim,
             kernel_size=tuple(self.patch_size),

@@ -155,30 +155,49 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
     wd_table = jnp.asarray(wd_table, jnp.float32)
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    compute_dtype = jnp.bfloat16 if cfg.get("FP16", True) else jnp.float32
 
-    def accumulate(params, model_state, batch, step_rng, pass_idx):
-        """Mean loss/grads over the micro-batch axis via scan.
+    def transform_all(batch, step_rng):
+        """Apply mix + augmentation to every micro-batch ONCE per step.
 
-        Mixing uses the same rng stream on both SAM passes (the reference
-        replays cached, already-mixed micro-batches, train_transformer.py:
-        1223-1243) while dropout streams differ per pass. BN stats update
-        sequentially across micro-batches, like the reference's sequential
-        micro-batch forwards.
+        The SAM second pass then replays the exact same transformed
+        micro-batches — matching the reference's host-side caching
+        (train_transformer.py:1223-1243) and halving augmentation cost.
         """
         a = batch["image"].shape[0]
 
+        def body(_, xs):
+            micro, idx = xs
+            data_rng = jax.random.fold_in(
+                jax.random.fold_in(step_rng, 999), idx
+            )
+            images, labels = batch_transform(micro, data_rng)
+            return None, (images.astype(compute_dtype), labels)
+
+        _, (images, labels) = jax.lax.scan(
+            body, None, (batch, jnp.arange(a))
+        )
+        return images, labels
+
+    def accumulate(params, model_state, images, labels, step_rng, pass_idx):
+        """Mean loss/grads over the micro-batch axis via scan.
+
+        BN stats update sequentially across micro-batches, like the
+        reference's sequential micro-batch forwards; dropout streams differ
+        between the two SAM passes.
+        """
+        a = images.shape[0]
+
         def body(carry, xs):
             acc_loss, acc_grads, mstate = carry
-            micro, idx = xs
-            data_rng = jax.random.fold_in(jax.random.fold_in(step_rng, 999), idx)
-            images, labels = batch_transform(micro, data_rng)
+            img, lab, idx = xs
             rng = jax.random.fold_in(step_rng, idx * 2 + pass_idx)
             rngs = {
                 "dropout": jax.random.fold_in(rng, 0),
                 "shakedrop": jax.random.fold_in(rng, 1),
             }
             (loss, (_, new_mstate)), grads = grad_fn(
-                params, mstate, images, labels, rngs
+                params, mstate, img, lab, rngs
             )
             acc_loss = acc_loss + loss
             acc_grads = jax.tree.map(
@@ -192,7 +211,7 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
         (tot_loss, tot_grads, new_mstate), _ = jax.lax.scan(
             body,
             (jnp.zeros((), jnp.float32), zero_grads, model_state),
-            (batch, jnp.arange(a)),
+            (images, labels, jnp.arange(a)),
         )
         inv = 1.0 / a
         return tot_loss * inv, optim.tree_scale(tot_grads, inv), new_mstate
@@ -202,9 +221,10 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
         lr = lr_table[jnp.minimum(step, lr_table.shape[0] - 1)]
         wd = wd_table[jnp.minimum(step, wd_table.shape[0] - 1)]
         step_rng = jax.random.fold_in(base_rng, step)
+        images, labels = transform_all(batch, step_rng)
 
         loss, grads, mstate = accumulate(
-            state.params, state.model_state, batch, step_rng, 0
+            state.params, state.model_state, images, labels, step_rng, 0
         )
         finite = optim.all_finite(grads) & jnp.isfinite(loss)
 
@@ -219,7 +239,7 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
             )
             params_adv = optim.tree_add(state.params, e_w)
             loss2, grads2, mstate = accumulate(
-                params_adv, mstate, batch, step_rng, 1
+                params_adv, mstate, images, labels, step_rng, 1
             )
             finite = finite & optim.all_finite(grads2) & jnp.isfinite(loss2)
             if clip is not None:
