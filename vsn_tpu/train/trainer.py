@@ -43,6 +43,7 @@ from vsn_tpu.train.step import (
     make_train_step,
 )
 from vsn_tpu.utils import rng as rnglib
+from vsn_tpu.utils.tracking import Tracker
 
 log = logging.getLogger("vsn_tpu.train")
 
@@ -201,7 +202,8 @@ def train_fold(
         int(cfg.STEPS), max_steps
     )
     val_freq = int(cfg.VALIDATION_FREQUENCY)
-    metrics_log = open(run_dir / "metrics.jsonl", "a")
+    tracker = Tracker(run_dir, run_id, config=cfg.to_dict(),
+                      filename="metrics.jsonl")
 
     def checkpoint_payload():
         # EMA weights are stored as the model weights when EMA is on
@@ -254,8 +256,7 @@ def train_fold(
             }
             for k, v in row.items():
                 history.setdefault(k, []).append(v)
-            metrics_log.write(json.dumps(row) + "\n")
-            metrics_log.flush()
+            tracker.log(row, step=step)
             log.info(
                 "step %d/%d loss %.4f val_loss %.4f val_bacc %.4f",
                 step, total_steps, row["train_loss"], row["val_loss"],
@@ -321,7 +322,11 @@ def train_fold(
             checkpoint_payload(), checkpoint_meta(step),
         )
 
-    metrics_log.close()
+    tracker.set_summary(
+        steps=step, stopped_early=stopped_early, skipped=int(state.skipped),
+        best_metric=best_tracker.best[0] if best_tracker.best else None,
+    )
+    tracker.finish()
     saver.close()
     return {
         "run_id": run_id,

@@ -23,11 +23,12 @@ class Tracker:
     """Minimal run tracker: log(dict), summary, artifacts-as-files."""
 
     def __init__(self, run_dir, run_id: str, config: dict | None = None,
-                 project: str = "vsn_tpu", use_wandb: bool | None = None):
+                 project: str = "vsn_tpu", use_wandb: bool | None = None,
+                 filename: str = "events.jsonl"):
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
         self.run_id = run_id
-        self._f = open(self.run_dir / "events.jsonl", "a")
+        self._f = open(self.run_dir / filename, "a")
         self.summary: dict = {}
         self._wb = None
         if use_wandb is None:
