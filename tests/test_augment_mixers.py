@@ -140,3 +140,44 @@ def test_build_mix_fn_exclusive():
     with pytest.raises(ValueError):
         build_mix_fn(cfg)
     assert build_mix_fn(load_config()) is None
+
+
+def test_affine_warp_matmul_matches_map_coordinates():
+    """The gather-free (LU shear-pass matmul) warp must agree with the
+    map_coordinates oracle in the interior; identity and integer translation
+    are exact."""
+    import functools
+
+    from vsn_tpu.data.augment import affine_warp, affine_warp_matmul
+
+    B, D, H, W = 2, 20, 24, 20
+    zz, yy, xx = np.meshgrid(
+        np.linspace(-1, 1, D), np.linspace(-1, 1, H), np.linspace(-1, 1, W),
+        indexing="ij",
+    )
+    vol = np.exp(-(zz**2 + yy**2 + xx**2) / 0.3) + 0.3 * np.sin(3 * zz)
+    vols = jnp.asarray(np.stack([vol, vol * 0.7 + 0.1]), jnp.float32)
+
+    rng = np.random.default_rng(0)
+    angles = jnp.asarray(rng.uniform(-0.06, 0.06, (B, 3)), jnp.float32)
+    scales = jnp.asarray(1 + rng.uniform(-0.05, 0.05, (B, 3)), jnp.float32)
+    trans = jnp.asarray(rng.uniform(-3, 3, (B, 3)), jnp.float32)
+
+    ref = jax.vmap(functools.partial(affine_warp, mode="zeros"))(
+        vols, angles, scales, trans
+    )
+    got = affine_warp_matmul(vols, angles, scales, trans, mode="zeros")
+    err = np.abs(np.asarray(got) - np.asarray(ref))[:, 3:-3, 3:-3, 3:-3]
+    assert err.max() < 0.05, err.max()
+
+    ident = affine_warp_matmul(
+        vols, jnp.zeros((B, 3)), jnp.ones((B, 3)), jnp.zeros((B, 3))
+    )
+    np.testing.assert_allclose(np.asarray(ident), np.asarray(vols), atol=1e-5)
+
+    tr = jnp.asarray([[2.0, -3.0, 1.0]] * B, jnp.float32)
+    got_t = affine_warp_matmul(vols, jnp.zeros((B, 3)), jnp.ones((B, 3)), tr)
+    ref_t = jax.vmap(functools.partial(affine_warp, mode="zeros"))(
+        vols, jnp.zeros((B, 3)), jnp.ones((B, 3)), tr
+    )
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref_t), atol=1e-5)

@@ -265,6 +265,126 @@ def affine_warp(
     return out.reshape(d, h, w)
 
 
+# --- matmul-based affine resampling (no gathers) ---------------------------
+#
+# jax.scipy.ndimage.map_coordinates lowers to 8-neighbor gathers, which are
+# catastrophically slow on TPU (~450 ms per 144^3 volume even axis-aligned).
+# Instead we decompose the inverse affine A = L U (Doolittle, 3x3 closed
+# form) into EIGHT single-axis resample passes, each "resample axis t at
+# src = scale*i + slope*dep + shift" — expressed as an einsum against a
+# banded trilinear weight tensor built from iota (pure elementwise + MXU
+# matmul, zero gathers). Coordinate maps compose exactly; only interpolation
+# smoothing differs slightly from direct trilinear sampling.
+
+def _lu3(a: jax.Array):
+    """Closed-form Doolittle LU of a [3,3] matrix (unit lower diag)."""
+    u11, u12, u13 = a[0, 0], a[0, 1], a[0, 2]
+    l21 = a[1, 0] / u11
+    u22 = a[1, 1] - l21 * u12
+    u23 = a[1, 2] - l21 * u13
+    l31 = a[2, 0] / u11
+    l32 = (a[2, 1] - l31 * u12) / u22
+    u33 = a[2, 2] - l31 * u13 - l32 * u23
+    lower = jnp.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    lower = lower.at[1, 0].set(l21).at[2, 0].set(l31).at[2, 1].set(l32)
+    upper = jnp.zeros((3, 3)).at[0, 0].set(u11).at[0, 1].set(u12).at[
+        0, 2].set(u13).at[1, 1].set(u22).at[1, 2].set(u23).at[2, 2].set(u33)
+    return lower, upper
+
+
+def _resample_pass(x, axis, dep_axis, scale, slope, shift, mode):
+    """out[..., i@axis, ...] = lerp of x along ``axis`` at
+    src = scale*i + slope*dep + shift (per-sample scalars [B]).
+
+    Weight tensor W[b, dep, i, k] = max(0, 1 - |src - k|); out-of-range
+    source weights vanish (zero padding). mode='border' clamps src instead.
+    Contraction runs on the MXU via einsum.
+    """
+    size = x.shape[axis]
+    i = jnp.arange(size, dtype=jnp.float32)
+    if dep_axis is None:
+        src = scale[:, None] * i[None, :] + shift[:, None]      # [B, I]
+        src = src[:, None, :]                                    # dep dim 1
+        dep_size = 1
+    else:
+        dep = jnp.arange(x.shape[dep_axis], dtype=jnp.float32)
+        src = (scale[:, None, None] * i[None, None, :]
+               + slope[:, None, None] * dep[None, :, None]
+               + shift[:, None, None])                           # [B, DEP, I]
+        dep_size = x.shape[dep_axis]
+    if mode == "border":
+        src = jnp.clip(src, 0.0, size - 1)
+    k = jnp.arange(size, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(src[..., None] - k))     # [B,DEP,I,K]
+
+    # einsum subscripts: axes of x are (b, 1, 2, 3); name them.
+    names = {1: "z", 2: "y", 3: "x"}
+    tgt = names[axis]
+    in_sub = "b" + "".join(
+        "k" if a == axis else names[a] for a in (1, 2, 3)
+    )
+    out_sub = "b" + "".join(names[a] for a in (1, 2, 3))
+    dep_name = names[dep_axis] if dep_axis is not None else "q"
+    w_sub = f"b{dep_name}{tgt}k"
+    if dep_axis is None:
+        w = w[:, 0]  # [B, I, K]
+        w_sub = f"b{tgt}k"
+    return jnp.einsum(
+        f"{w_sub},{in_sub}->{out_sub}", w, x.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def affine_warp_matmul(
+    vols: jax.Array,   # [B, D, H, W]
+    angles: jax.Array,  # [B, 3]
+    scales: jax.Array,  # [B, 3]
+    translation: jax.Array,  # [B, 3] voxels
+    mode: str = "zeros",
+) -> jax.Array:
+    """Batched affine warp equivalent to vmap(affine_warp) without gathers.
+
+    Output voxel p samples input at A (p - c - t) + c with A = M^{-1},
+    M = R(angles) diag(scales). A = L U; the warp is applied as the L-pass
+    stack first, then the U-pass stack (composition order: the last-applied
+    pass's coordinates are evaluated first), each pass a single-axis
+    banded-matmul resample.
+    """
+    b = vols.shape[0]
+    d, h, w = vols.shape[1:]
+    center = jnp.array([(d - 1) / 2, (h - 1) / 2, (w - 1) / 2])
+
+    def params(angle, scale, trans):
+        m = _rotation_matrix(angle) * scale[None, :]
+        a = jnp.linalg.inv(m)
+        lower, upper = _lu3(a)
+        # src = A p + o with o = c - A(c + t)
+        o = center - a @ (center + trans)
+        return lower, upper, o
+
+    lower, upper, o = jax.vmap(params)(angles, scales, translation)
+    zero = jnp.zeros((b,))
+    one = jnp.ones((b,))
+
+    # inner map (applied to the input first): g(w) = in(L w + o)
+    #   z: w_z + o_z ; y: l21 w_z + w_y + o_y ; x: l31 w_z + l32 w_y + w_x + o_x
+    x_ = _resample_pass(vols, 1, None, one, zero, o[:, 0], mode)
+    x_ = _resample_pass(x_, 2, 1, one, lower[:, 1, 0], o[:, 1], mode)
+    x_ = _resample_pass(x_, 3, 1, one, lower[:, 2, 0], o[:, 2], mode)
+    x_ = _resample_pass(x_, 3, 2, one, lower[:, 2, 1], zero, mode)
+    # outer map: out(p) = g(U p)
+    #   x: u33 x ; y: u22 y + u23 x ; z: u11 z + u12 y + u13 x
+    # Application order φx, φy, ζ2, ζ1 yields composite φx∘φy∘ζ2∘ζ1 (the
+    # LAST-applied pass's coordinates are evaluated first on p): ζ1 makes
+    # z = u11 z + u12 y from originals, ζ2 then adds u13 x (original x,
+    # unscaled by u11), φy/φx see original x.
+    x_ = _resample_pass(x_, 3, None, upper[:, 2, 2], zero, zero, mode)
+    x_ = _resample_pass(x_, 2, 3, upper[:, 1, 1], upper[:, 1, 2], zero, mode)
+    x_ = _resample_pass(x_, 1, 3, one, upper[:, 0, 2], zero, mode)
+    x_ = _resample_pass(x_, 1, 2, upper[:, 0, 0], upper[:, 0, 1], zero, mode)
+    return x_
+
+
 def random_affine(
     x: jax.Array,
     key,
@@ -289,7 +409,7 @@ def random_affine(
         k_tr, (b, 3), minval=-translate_range, maxval=translate_range
     )
     vols = x.astype(jnp.float32).squeeze(-1)
-    warped = jax.vmap(partial(affine_warp, mode=mode))(vols, angles, scales, trans)
+    warped = affine_warp_matmul(vols, angles, scales, trans, mode=mode)
     warped = warped[..., None]
     keep = apply.reshape((b,) + (1,) * (x.ndim - 1))
     return jnp.where(keep, warped, x.astype(jnp.float32))

@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from vsn_tpu.data.augment import affine_warp, resize_batch, zscore
+from vsn_tpu.data.augment import affine_warp_matmul, resize_batch, zscore
 
 
 def _center_crop_resize(x: jax.Array, scale: float) -> jax.Array:
@@ -60,8 +60,10 @@ def make_tta_views(
                     maxval=affine_translate_vox,
                 )
                 scales = jnp.ones((b, 3))
-                warped = jax.vmap(partial(affine_warp, mode="zeros"))(
-                    vols, angles, scales, trans
+                # matmul-based warp: gather-free, MXU-friendly (the
+                # map_coordinates path is ~50x slower on TPU)
+                warped = affine_warp_matmul(
+                    vols, angles, scales, trans, mode="zeros"
                 )[..., None]
                 views.append(warped.astype(x.dtype))
         if use_scaled_center_crop:
