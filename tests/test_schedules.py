@@ -47,3 +47,13 @@ def test_lr_wd_from_config():
 def test_validation_errors():
     with pytest.raises(ValueError):
         cosine_schedule_steps(1.0, 0.0, 10, 11)
+
+
+def test_epoch_variant_equivalence():
+    from vsn_tpu.train.schedules import cosine_schedule
+
+    s = cosine_schedule(1e-3, 1e-5, epochs=10, niter_per_ep=7, warmup_epochs=2)
+    assert len(s) == 70
+    np.testing.assert_allclose(
+        s, cosine_schedule_steps(1e-3, 1e-5, 70, warmup_steps=14)
+    )

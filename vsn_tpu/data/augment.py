@@ -20,7 +20,6 @@ Exact RNG parity with MONAI is a non-goal; distributions are matched.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -14,13 +14,11 @@ augmentation fuses with the forward under jit.
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-from vsn_tpu.data.augment import affine_warp_matmul, resize_batch, zscore
+from vsn_tpu.data.augment import affine_warp_matmul, resize_batch
 
 
 def _center_crop_resize(x: jax.Array, scale: float) -> jax.Array:

@@ -12,7 +12,6 @@ TPU-first notes:
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Optional, Sequence
 
 import jax

@@ -16,10 +16,8 @@ import re
 from pathlib import Path
 
 import numpy as np
-import pandas as pd
 
 from vsn_tpu.data.folds import get_train_val_test, load_metadata
-from vsn_tpu.eval.bootstrap import compute_bootstrap_metrics
 from vsn_tpu.eval.evaluate import _bootstrap_summary, attach_predictions
 from vsn_tpu.svm.features import DataPrepaSVM, load_svm_features
 

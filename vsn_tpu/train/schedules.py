@@ -51,6 +51,25 @@ def cosine_schedule_steps(
     return schedule.astype(np.float64)
 
 
+def cosine_schedule(
+    base_value: float,
+    final_value: float,
+    epochs: int,
+    niter_per_ep: int,
+    warmup_epochs: int = 0,
+    start_warmup_value: float = 0.0,
+) -> np.ndarray:
+    """Epoch-based variant (reference utils/helper.py:118-165): warmup spans
+    ``warmup_epochs * niter_per_ep`` iterations, cosine covers the rest."""
+    return cosine_schedule_steps(
+        base_value,
+        final_value,
+        total_steps=epochs * niter_per_ep,
+        warmup_steps=warmup_epochs * niter_per_ep,
+        start_warmup_value=start_warmup_value,
+    )
+
+
 def lr_wd_schedules(cfg) -> tuple[np.ndarray, np.ndarray]:
     """Build the (LR, WD) step arrays from a Config.
 

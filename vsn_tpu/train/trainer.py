@@ -14,7 +14,6 @@ scalar dict per step.
 
 from __future__ import annotations
 
-import json
 import logging
 import time
 import uuid
@@ -33,7 +32,7 @@ from vsn_tpu.models import build_model
 from vsn_tpu.parallel import mesh as meshlib
 from vsn_tpu.train import checkpoint as ckpt
 from vsn_tpu.train import metrics as M
-from vsn_tpu.train.losses import label_smoothing_loss, smoothing_from_config
+from vsn_tpu.train.losses import smoothing_from_config
 from vsn_tpu.train.schedules import lr_wd_schedules
 from vsn_tpu.train.step import (
     eval_variables,
@@ -233,8 +232,12 @@ def train_fold(
     # ----- loop ------------------------------------------------------------
     stopped_early = False
     step = start_step
+    # NB: PREFETCH_FACTOR in the reference is host-side batches per worker
+    # (config-defaults.yaml:304-306). Device-side we keep at most 2 step
+    # batches in flight — at effective batch 128 each step batch is ~0.9 GB
+    # of HBM, and 8 in flight OOMs a 16 GB chip.
     batches = prefetch(
-        pipe, int(cfg.PREFETCH_FACTOR),
+        pipe, min(2, int(cfg.PREFETCH_FACTOR)),
         device_put=lambda b: meshlib.shard_train_batch(b, mesh),
     )
     for batch in batches:

@@ -11,7 +11,7 @@ Parity with reference visualizations/compute_metrics_plot_violin_csv.py:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 import pandas as pd
