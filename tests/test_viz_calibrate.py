@@ -251,3 +251,18 @@ def test_calibrate_cli(pred_dir, tmp_path):
         "--val-fold", "1", "--method", "temperature",
     ])
     assert len(res) == 6
+
+
+def test_tta_vs_plain_study():
+    from vsn_tpu.viz.ci_studies import tta_vs_plain_study
+
+    rng = np.random.default_rng(0)
+    n, k = 300, 3
+    gt = rng.integers(0, k, n)
+    plain = softmax(rng.standard_normal((n, k)) + 1.0 * np.eye(k)[gt], axis=1)
+    tta = softmax(rng.standard_normal((n, k)) + 2.0 * np.eye(k)[gt], axis=1)
+    df = tta_vs_plain_study(gt, plain, tta, sizes=[60, 150], n_bootstrap=60,
+                            n_seeds=2)
+    assert len(df) == 2 * 2 * 2  # seeds x sizes x variants
+    m = df.groupby("variant")["mean"].mean()
+    assert m["tta"] > m["plain"]  # the sharper predictor wins

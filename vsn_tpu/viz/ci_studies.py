@@ -91,6 +91,37 @@ def ci_vs_num_models(
     return pd.DataFrame(rows)
 
 
+def tta_vs_plain_study(
+    gt: np.ndarray,
+    probs_plain: np.ndarray,
+    probs_tta: np.ndarray,
+    sizes: Sequence[int],
+    metric: str = "balanced_accuracy",
+    n_bootstrap: int = 1000,
+    n_seeds: int = 3,
+    seed: int = 0,
+) -> pd.DataFrame:
+    """TTA-vs-no-TTA metric and CI width over stratified subsets and seeds
+    (reference visualizations/ci_seeds_vs_dataset_size.py): for each subset
+    size and seed, bootstrap both prediction sets on the SAME subjects."""
+    rows = []
+    for s in range(n_seeds):
+        rng = np.random.default_rng(seed + s)
+        for size in sizes:
+            idx = stratified_subset(gt, size, rng)
+            for name, probs in (("plain", probs_plain), ("tta", probs_tta)):
+                res = compute_bootstrap_metrics(
+                    gt[idx], probs[idx], n_bootstrap=n_bootstrap,
+                    random_state=seed + s, keep_samples=False,
+                )[metric]
+                rows.append({
+                    "seed": s, "size": size, "variant": name,
+                    "mean": res["mean"],
+                    "ci_width": res["upper"] - res["lower"],
+                })
+    return pd.DataFrame(rows)
+
+
 def plot_ci_vs_size(df: pd.DataFrame, out_path, metric_name: str = "metric"):
     import matplotlib
 
