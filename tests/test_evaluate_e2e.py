@@ -94,3 +94,19 @@ def test_eval_cli(trained, capsys):
         "--num-bootstrap", "10",
     ])
     assert (root / "preds_cli" / "prediction_model_evaltest_0_last_id.csv").exists()
+
+
+def test_filter_synthetic_and_dedup():
+    from vsn_tpu.eval.evaluate import filter_synthetic, remove_duplicates
+
+    df = pd.DataFrame({
+        "Subject": ["sub-1", "sub-2_factor2", "sub-3", "sub-3"],
+        "Diagnosis": ["CN", "AD", "FTD", "FTD"],
+    })
+    f = filter_synthetic(df)
+    assert list(f.Subject) == ["sub-1", "sub-3", "sub-3"]
+    d = remove_duplicates(f)
+    assert list(d.Subject) == ["sub-1", "sub-3"]
+    # missing Subject column passes through
+    empty = pd.DataFrame({"a": [1]})
+    assert filter_synthetic(empty).equals(empty)

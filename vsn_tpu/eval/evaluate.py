@@ -40,6 +40,23 @@ from vsn_tpu.train.step import make_eval_step
 log = logging.getLogger("vsn_tpu.eval")
 
 
+def filter_synthetic(metadata: pd.DataFrame) -> pd.DataFrame:
+    """Drop synthetic/augmented subjects (names containing 'factor') from
+    eval cohorts unless USE_SYNTHETIC_DATA — reference
+    eval_transformer.py:471-475, applied at 659-661."""
+    if "Subject" not in metadata.columns:
+        return metadata
+    mask = ~metadata["Subject"].astype(str).str.lower().str.contains("factor")
+    return metadata.loc[mask].reset_index(drop=True)
+
+
+def remove_duplicates(metadata: pd.DataFrame) -> pd.DataFrame:
+    """Dedup eval cohorts by Subject (reference eval_transformer.py:478-496)."""
+    if metadata.empty or "Subject" not in metadata.columns:
+        return metadata
+    return metadata.drop_duplicates(subset=["Subject"]).reset_index(drop=True)
+
+
 def load_model_from_checkpoint(path):
     """Returns (cfg, model, variables, meta)."""
     payload, meta = ckpt.load_checkpoint(path)
@@ -162,9 +179,14 @@ def evaluate_checkpoint(
     results = {"checkpoint": str(checkpoint_path), "fold": fold,
                "use_tta": use_tta, "model_index": model_index}
 
-    meta_val = meta_val[meta_val.Diagnosis.isin(diseases)].reset_index(drop=True)
-    meta_test = meta_test[meta_test.Diagnosis.isin(diseases)].reset_index(
-        drop=True
+    if not cfg.get("USE_SYNTHETIC_DATA", False):
+        meta_val = filter_synthetic(meta_val)
+        meta_test = filter_synthetic(meta_test)
+    meta_val = remove_duplicates(
+        meta_val[meta_val.Diagnosis.isin(diseases)].reset_index(drop=True)
+    )
+    meta_test = remove_duplicates(
+        meta_test[meta_test.Diagnosis.isin(diseases)].reset_index(drop=True)
     )
     ds_val = InMemoryDataset(cache_dir, meta_val, diseases)
     ds_test = InMemoryDataset(cache_dir, meta_test, diseases)
