@@ -162,3 +162,15 @@ def test_shifted_blocks_differ_from_unshifted():
     p2 = m2.init(jax.random.key(0), x, True)
     out_clamped = m2.apply(p2, x, True)
     assert out_shifted.shape == out_clamped.shape == (1, 5)
+
+
+@pytest.mark.parametrize("norm", ["RMSNorm", "DynamicTanh"])
+def test_norm_layer_options(norm):
+    """NORM_LAYER alternatives run through the full model (the reference
+    exposes the option but eval()s only nn.LayerNorm; we support all three)."""
+    model = tiny_swin(norm_layer=norm)
+    x = jnp.ones((1, 8, 8, 8, 1))
+    params = model.init(jax.random.key(0), x, True)
+    out = model.apply(params, x, True)
+    assert out.shape == (1, 5)
+    assert np.all(np.isfinite(np.asarray(out)))
