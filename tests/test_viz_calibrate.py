@@ -266,3 +266,25 @@ def test_tta_vs_plain_study():
     assert len(df) == 2 * 2 * 2  # seeds x sizes x variants
     m = df.groupby("variant")["mean"].mean()
     assert m["tta"] > m["plain"]  # the sharper predictor wins
+
+
+def test_violin_cli(tmp_path):
+    from vsn_tpu.viz.ensemble import main as violin_main
+
+    d = tmp_path / "run_a"
+    d.mkdir()
+    for fold in range(2):
+        for best in range(2):
+            make_pred_csv(
+                d / f"prediction_model_aa_{fold}_best{best}_id.csv",
+                seed=fold * 10 + best,
+            )
+    out = tmp_path / "viz"
+    res = violin_main([
+        "--run", f"modelA={d}", "--output-dir", str(out),
+        "--num-bootstrap", "30",
+    ])
+    assert (out / "summary.csv").exists()
+    assert (out / "violin_balanced_accuracy.png").exists()
+    assert (out / "confusion_modelA.png").exists()
+    assert res["modelA"]["n_models"] == 4

@@ -130,3 +130,60 @@ def plot_confusion_matrix(df: pd.DataFrame, out_path, normalize: bool = True):
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
     return out_path
+
+
+def main(argv=None):
+    """CLI equivalent of reference visualizations/compute_metrics_plot_violin_
+    csv.py: per run, snapshot-ensemble its best-N prediction CSVs, bootstrap
+    the ensemble, and emit violin plots + confusion matrices + a summary
+    table."""
+    import argparse
+    from collections import defaultdict
+
+    from vsn_tpu.eval.calibrate_predictions import extract_fold_from_filename
+
+    p = argparse.ArgumentParser(description="snapshot-ensemble analysis")
+    p.add_argument("--run", action="append", required=True,
+                   help="NAME=prediction_dir (repeatable)")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--pattern", default="*_best*_id.csv")
+    p.add_argument("--metrics", nargs="+",
+                   default=["balanced_accuracy", "accuracy", "ece"])
+    p.add_argument("--num-bootstrap", type=int, default=2000)
+    args = p.parse_args(argv)
+
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    results = {}
+    for spec in args.run:
+        name, d = spec.split("=", 1)
+        files = sorted(Path(d).glob(args.pattern))
+        if not files:
+            raise FileNotFoundError(f"no prediction CSVs in {d}")
+        by_fold = defaultdict(list)
+        for f in files:
+            by_fold[extract_fold_from_filename(f)].append(f)
+        # ensemble per fold, pool subjects, analyze pooled
+        pooled = pd.concat(
+            [ensemble_predictions(fs) for fs in by_fold.values()],
+            ignore_index=True,
+        )
+        gt, probs, classes = predictions_to_arrays(pooled)
+        metrics = compute_bootstrap_metrics(
+            gt, probs, n_bootstrap=args.num_bootstrap
+        )
+        results[name] = {"ensemble": pooled, "metrics": metrics,
+                         "classes": classes,
+                         "n_models": sum(len(v) for v in by_fold.values())}
+        plot_confusion_matrix(pooled, out / f"confusion_{name}.png")
+
+    for m in args.metrics:
+        plot_violin(results, m, out / f"violin_{m}.png")
+    table = summary_table(results, metric_names=tuple(args.metrics))
+    table.to_csv(out / "summary.csv", index=False)
+    print(table.to_string(index=False))
+    return results
+
+
+if __name__ == "__main__":
+    main()
