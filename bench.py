@@ -49,7 +49,8 @@ def main():
         overrides = dict(
             USE_SAM=True, USE_EMA=True, USE_MIXUP=True, MIXUP_PROB=0.5,
             USE_SHAKEDROP=True, LABEL_SMOOTHING=0.1, SEED=0,
-            IMG_SIZE=[32, 32, 32], BATCH_SIZE=1, EFFECTIVE_BATCH_SIZE=4,
+            IMG_SIZE=[32, 32, 32], BATCH_SIZE=1,
+            EFFECTIVE_BATCH_SIZE=max(4, 2 * jax.device_count()),
             EMBED_DIM=32, DEPTH=[1, 1], HEADS=[2, 4], WINDOW_SIZE=[4, 4, 4],
         )
         n_steps, warmup = 3, 1

@@ -77,6 +77,12 @@ class InMemoryDataset:
             return self.images[indices]
         return np.stack([self._load_file(i) for i in indices])
 
+    def all_volumes(self) -> np.ndarray:
+        """The full [N, D, H, W, 1] float16 cache (for device preload)."""
+        if self.images is not None:
+            return self.images
+        return self.gather(np.arange(len(self.subjects)))
+
 
 class TrainPipeline:
     """Infinite step-batch iterator.
@@ -98,9 +104,11 @@ class TrainPipeline:
         micro_batch: int,
         seed: int | None = None,
         drop_last: bool = True,
+        index_mode: bool = False,
     ):
         self.ds = dataset
         self.cfg = cfg
+        self.index_mode = bool(index_mode)
         self.grad_accum = int(grad_accum)
         self.micro_batch = int(micro_batch)
         self.per_step = self.grad_accum * self.micro_batch
@@ -152,15 +160,23 @@ class TrainPipeline:
 
         idx = self._epoch_indices[sl]
         a, b = self.grad_accum, self.micro_batch
-        batch = {
-            "image": self.ds.gather(idx).reshape(a, b, *self.ds.spatial_shape, 1),
-            "label": self.ds.labels[idx].reshape(a, b, -1),
-        }
-        if self.planner.mode is not None:
-            plan = {k: v[sl] for k, v in self._epoch_plan.items()}
-            batch["image2"] = self.ds.gather(plan["partner"]).reshape(
+        batch = {"label": self.ds.labels[idx].reshape(a, b, -1)}
+        if self.index_mode:
+            # device-resident mode: ship int32 indices; the train step
+            # gathers volumes from the HBM-resident cache (data/resident.py)
+            batch["image_idx"] = idx.astype(np.int32).reshape(a, b)
+        else:
+            batch["image"] = self.ds.gather(idx).reshape(
                 a, b, *self.ds.spatial_shape, 1
             )
+        if self.planner.mode is not None:
+            plan = {k: v[sl] for k, v in self._epoch_plan.items()}
+            if self.index_mode:
+                batch["partner_idx"] = plan["partner"].astype(np.int32).reshape(a, b)
+            else:
+                batch["image2"] = self.ds.gather(plan["partner"]).reshape(
+                    a, b, *self.ds.spatial_shape, 1
+                )
             batch["label2"] = self.ds.labels[plan["partner"]].reshape(a, b, -1)
             batch["mix_lam"] = plan["mix_lam"].reshape(a, b)
             batch["mix_apply"] = plan["mix_apply"].reshape(a, b)
@@ -181,7 +197,9 @@ class EvalPipeline:
         self.ds = dataset
         self.batch_size = int(batch_size)
 
-    def __iter__(self):
+    def iter_with_indices(self, load_images: bool = True):
+        """Yields (images|None, labels, valid, padded_indices). Device-
+        resident eval sets load_images=False and gathers by index in HBM."""
         n = len(self.ds)
         b = self.batch_size
         for start in range(0, n, b):
@@ -189,8 +207,12 @@ class EvalPipeline:
             valid = np.zeros(b, bool)
             valid[: len(idx)] = True
             pad = np.concatenate([idx, np.zeros(b - len(idx), np.int64)])
-            images = self.ds.gather(pad)
+            images = self.ds.gather(pad) if load_images else None
             labels = self.ds.labels[pad]
+            yield images, labels, valid, pad
+
+    def __iter__(self):
+        for images, labels, valid, _ in self.iter_with_indices():
             yield images, labels, valid
 
 

@@ -139,6 +139,11 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
     everything else is replicated. ``batch_transform(micro, rng)`` applies
     on-device mixing/augmentation per micro-batch (see make_batch_transform);
     None means raw (image, label) passthrough.
+
+    Device-resident mode (PRELOAD_DEVICE): the batch instead carries
+    ``image_idx``/``partner_idx`` [A, B] int32 and the returned step takes a
+    ResidentVolumes store as its 4th argument; volumes are gathered on device
+    (vsn_tpu/data/resident.py).
     """
     loss_fn = make_loss_fn(model, cfg)
     if batch_transform is None:
@@ -157,17 +162,24 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     compute_dtype = jnp.bfloat16 if cfg.get("FP16", True) else jnp.float32
 
-    def transform_all(batch, step_rng):
+    def transform_all(batch, step_rng, resident=None):
         """Apply mix + augmentation to every micro-batch ONCE per step.
 
         The SAM second pass then replays the exact same transformed
         micro-batches — matching the reference's host-side caching
         (train_transformer.py:1223-1243) and halving augmentation cost.
+
+        ``resident`` is an optional ResidentVolumes store: when the batch
+        carries image_idx/partner_idx instead of voxel data, volumes are
+        gathered on device here (vsn_tpu/data/resident.py).
         """
-        a = batch["image"].shape[0]
+        from vsn_tpu.data.resident import resolve_micro
+
+        a = batch["label"].shape[0]
 
         def body(_, xs):
             micro, idx = xs
+            micro = resolve_micro(micro, resident)
             data_rng = jax.random.fold_in(
                 jax.random.fold_in(step_rng, 999), idx
             )
@@ -216,12 +228,12 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
         inv = 1.0 / a
         return tot_loss * inv, optim.tree_scale(tot_grads, inv), new_mstate
 
-    def train_step(state: TrainState, batch, base_rng):
+    def train_step(state: TrainState, batch, base_rng, resident=None):
         step = state.step
         lr = lr_table[jnp.minimum(step, lr_table.shape[0] - 1)]
         wd = wd_table[jnp.minimum(step, wd_table.shape[0] - 1)]
         step_rng = jax.random.fold_in(base_rng, step)
-        images, labels = transform_all(batch, step_rng)
+        images, labels = transform_all(batch, step_rng, resident)
 
         loss, grads, mstate = accumulate(
             state.params, state.model_state, images, labels, step_rng, 0
@@ -308,11 +320,14 @@ def make_bn_refresh_step(model, cfg, batch_transform=None):
     if batch_transform is None:
         batch_transform = lambda micro, rng: (micro["image"], micro["label"])
 
-    def refresh(params, model_state, batch, rng):
-        a = batch["image"].shape[0]
+    def refresh(params, model_state, batch, rng, resident=None):
+        from vsn_tpu.data.resident import resolve_micro
+
+        a = batch["label"].shape[0]
 
         def body(mstate, xs):
             micro, idx = xs
+            micro = resolve_micro(micro, resident)
             images, _ = batch_transform(micro, jax.random.fold_in(rng, idx))
             _, new_mstate = model.apply(
                 {"params": params, **mstate}, images, False,

@@ -53,14 +53,20 @@ def new_run_id() -> str:
 
 
 class Validator:
-    """EMA-aware validation over a padded eval pipeline."""
+    """EMA-aware validation over a padded eval pipeline.
 
-    def __init__(self, model, cfg, dataset, mesh):
+    With ``resident`` set (PRELOAD_DEVICE), the val volumes live in HBM and
+    each batch ships only int32 indices — validation cost is then pure
+    device compute, independent of the host->device link.
+    """
+
+    def __init__(self, model, cfg, dataset, mesh, resident=None):
         self.cfg = cfg
         self.pipeline = EvalPipeline(
             dataset, meshlib.pad_batch_to_multiple(cfg.BATCH_SIZE, mesh.size)
         )
         self.mesh = mesh
+        self.resident = resident
         self.smoothing = smoothing_from_config(cfg)
         transform = build_eval_transform(cfg)
         eval_step = make_eval_step(model)
@@ -71,13 +77,30 @@ class Validator:
 
         self._run = run
 
+        if resident is not None:
+            from vsn_tpu.data.resident import gather_volumes
+
+            @jax.jit
+            def run_idx(variables, idx, res):
+                return eval_step(variables, transform(gather_volumes(res, idx)))
+
+            self._run_idx = run_idx
+
     def __call__(self, variables) -> tuple[dict, np.ndarray, np.ndarray]:
         probs_all, gt_all = [], []
-        for images, labels, valid in self.pipeline:
-            images = meshlib.shard_eval_batch(
-                jnp.asarray(images), self.mesh
-            )
-            probs = np.asarray(self._run(variables, images))
+        for images, labels, valid, idx in self.pipeline.iter_with_indices(
+            load_images=self.resident is None
+        ):
+            if self.resident is not None:
+                idx = meshlib.shard_eval_batch(
+                    jnp.asarray(idx, jnp.int32), self.mesh
+                )
+                probs = np.asarray(self._run_idx(variables, idx, self.resident))
+            else:
+                images = meshlib.shard_eval_batch(
+                    jnp.asarray(images), self.mesh
+                )
+                probs = np.asarray(self._run(variables, images))
             probs_all.append(probs[valid])
             gt_all.append(labels[valid])
         probs = np.concatenate(probs_all)
@@ -143,8 +166,25 @@ def train_fold(
     ds_val = InMemoryDataset(
         cache_dir, meta_val, diseases, preload=bool(cfg.PRELOAD_DATA)
     )
+
+    # Device-resident cache: push train/val volumes into HBM once; every
+    # step then ships only int32 indices (vsn_tpu/data/resident.py).
+    resident_train = resident_val = None
+    preload_device = cfg.get("PRELOAD_DEVICE", False)
+    if preload_device:
+        from vsn_tpu.data.resident import build_resident
+
+        mode = str(preload_device)
+        resident_train = build_resident(ds_train.all_volumes(), mode, mesh)
+        resident_val = build_resident(ds_val.all_volumes(), mode, mesh)
+        log.info(
+            "device-resident cache: train %.2f GB + val %.2f GB in HBM (%s)",
+            resident_train.nbytes / 1e9, resident_val.nbytes / 1e9, mode,
+        )
+
     pipe = TrainPipeline(
-        ds_train, cfg, grad_accum=grad_accum, micro_batch=micro_batch, seed=seed
+        ds_train, cfg, grad_accum=grad_accum, micro_batch=micro_batch,
+        seed=seed, index_mode=resident_train is not None,
     )
 
     # ----- model / state ---------------------------------------------------
@@ -165,7 +205,7 @@ def train_fold(
         donate_argnums=(0,),
     )
     train_key = rnglib.component_key(rnglib.base_key(seed), "train")
-    validator = Validator(model, cfg, ds_val, mesh)
+    validator = Validator(model, cfg, ds_val, mesh, resident=resident_val)
 
     # ----- bookkeeping -----------------------------------------------------
     history: dict[str, list] = {}
@@ -243,7 +283,7 @@ def train_fold(
     for batch in batches:
         if step >= total_steps or stopped_early:
             break
-        state, train_m = train_step(state, batch, train_key)
+        state, train_m = train_step(state, batch, train_key, resident_train)
         step = int(state.step)
 
         if step % val_freq == 0 or step == total_steps:
@@ -316,7 +356,7 @@ def train_fold(
             batch = meshlib.shard_train_batch(batch, mesh)
             mstate = refresh(
                 ema_tree["params"], mstate, batch,
-                jax.random.fold_in(refresh_key, i),
+                jax.random.fold_in(refresh_key, i), resident_train,
             )
         new_ema_tree = {"params": ema_tree["params"], "model_state": mstate}
         state = state._replace(ema=state.ema._replace(ema=new_ema_tree))
