@@ -96,6 +96,28 @@ def test_eval_cli(trained, capsys):
     assert (root / "preds_cli" / "prediction_model_evaltest_0_last_id.csv").exists()
 
 
+def test_evaluator_resident_matches_plain(trained):
+    """float16 device-resident eval must produce the identical probabilities
+    as shipping the volumes (same bytes either way)."""
+    from vsn_tpu.data.pipeline import InMemoryDataset
+    from vsn_tpu.data.resident import build_resident
+    from vsn_tpu.eval.evaluate import Evaluator, load_model_from_checkpoint
+
+    root, csvs, summary = trained
+    best0 = root / "runs" / "model_evaltest_0_best0.ckpt"
+    cfg, model, variables, meta = load_model_from_checkpoint(best0)
+    meta_df = pd.read_csv(csvs / "fold_1.csv")
+    meta_df = meta_df[meta_df.Diagnosis.isin(cfg.DISEASES)].reset_index(drop=True)
+    ds = InMemoryDataset(root / "cache", meta_df, list(cfg.DISEASES))
+
+    ev = Evaluator(cfg, model)
+    probs_plain, gt_plain = ev.predict_dataset(variables, ds)
+    res = build_resident(ds.all_volumes(), "float16")
+    probs_res, gt_res = ev.predict_dataset(variables, ds, res)
+    np.testing.assert_array_equal(probs_plain, probs_res)
+    np.testing.assert_array_equal(gt_plain, gt_res)
+
+
 def test_filter_synthetic_and_dedup():
     from vsn_tpu.eval.evaluate import filter_synthetic, remove_duplicates
 

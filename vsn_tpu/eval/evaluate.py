@@ -30,6 +30,7 @@ from vsn_tpu.data.augment import build_eval_transform
 from vsn_tpu.data.folds import get_train_val_test, load_metadata
 from vsn_tpu.data.pipeline import EvalPipeline, InMemoryDataset
 from vsn_tpu.data.preprocessing import DataPrepa
+from vsn_tpu.data.resident import build_resident, gather_volumes
 from vsn_tpu.eval.bootstrap import compute_bootstrap_metrics
 from vsn_tpu.eval.tta import make_tta_predictor
 from vsn_tpu.models import build_model
@@ -90,24 +91,52 @@ class Evaluator:
                 model, eval_transform=transform, **(tta_kwargs or {})
             )
             self._run = jax.jit(predict)
+            self._run_idx = jax.jit(
+                lambda variables, idx, res, rng: predict(
+                    variables, gather_volumes(res, idx), rng
+                )
+            )
         else:
             eval_step = make_eval_step(model)
             self._run = jax.jit(
                 lambda variables, images: eval_step(variables, transform(images))
             )
+            self._run_idx = jax.jit(
+                lambda variables, idx, res: eval_step(
+                    variables, transform(gather_volumes(res, idx))
+                )
+            )
 
-    def predict_dataset(self, variables, dataset):
-        """Returns (probs [N, K], gt_onehot [N, K])."""
+    def predict_dataset(self, variables, dataset, resident=None):
+        """Returns (probs [N, K], gt_onehot [N, K]).
+
+        ``resident`` is an optional ResidentVolumes store for the dataset
+        (PRELOAD_DEVICE): batches then ship int32 indices only, so repeated
+        evaluation (best-N checkpoints, TTA views) never re-crosses the
+        host->device boundary.
+        """
         pipeline = EvalPipeline(dataset, self.batch_size)
         probs_all, gt_all = [], []
-        for i, (images, labels, valid) in enumerate(pipeline):
-            images = meshlib.shard_eval_batch(jnp.asarray(images), self.mesh)
-            if self.use_tta:
-                probs = self._run(
-                    variables, images, jax.random.fold_in(self.rng, i)
+        for i, (images, labels, valid, idx) in enumerate(
+            pipeline.iter_with_indices(load_images=resident is None)
+        ):
+            step_rng = jax.random.fold_in(self.rng, i)
+            if resident is not None:
+                idx = meshlib.shard_eval_batch(
+                    jnp.asarray(idx, jnp.int32), self.mesh
                 )
+                if self.use_tta:
+                    probs = self._run_idx(variables, idx, resident, step_rng)
+                else:
+                    probs = self._run_idx(variables, idx, resident)
             else:
-                probs = self._run(variables, images)
+                images = meshlib.shard_eval_batch(
+                    jnp.asarray(images), self.mesh
+                )
+                if self.use_tta:
+                    probs = self._run(variables, images, step_rng)
+                else:
+                    probs = self._run(variables, images)
             probs = np.asarray(probs)
             probs_all.append(probs[valid])
             gt_all.append(labels[valid])
@@ -138,6 +167,22 @@ def _bootstrap_summary(probs, gt_onehot, n_bootstrap, seed=42):
     return strip(results)
 
 
+def _resident_for(ds, cfg, cache: dict | None):
+    """Dataset's HBM-resident store (PRELOAD_DEVICE), memoized across
+    checkpoints via ``cache`` so the best-N eval matrix uploads each cohort
+    once."""
+    mode = cfg.get("PRELOAD_DEVICE", False)
+    if not mode:
+        return None
+    key = (str(ds.cache_dir), tuple(ds.subjects), str(mode))
+    if cache is not None and key in cache:
+        return cache[key]
+    res = build_resident(ds.all_volumes(), str(mode))
+    if cache is not None:
+        cache[key] = res
+    return res
+
+
 def evaluate_checkpoint(
     checkpoint_path,
     csv_dir: str,
@@ -150,6 +195,7 @@ def evaluate_checkpoint(
     skip_if_exists: bool = True,
     model_index: int | None = None,
     seed: int = 42,
+    resident_cache: dict | None = None,
 ) -> dict:
     checkpoint_path = Path(checkpoint_path)
     output_dir = Path(output_dir)
@@ -191,10 +237,14 @@ def evaluate_checkpoint(
     ds_val = InMemoryDataset(cache_dir, meta_val, diseases)
     ds_test = InMemoryDataset(cache_dir, meta_test, diseases)
 
-    val_probs, val_gt = evaluator.predict_dataset(variables, ds_val)
+    val_probs, val_gt = evaluator.predict_dataset(
+        variables, ds_val, _resident_for(ds_val, cfg, resident_cache)
+    )
     results["val"] = _bootstrap_summary(val_probs, val_gt, n_bootstrap, seed)
 
-    test_probs, test_gt = evaluator.predict_dataset(variables, ds_test)
+    test_probs, test_gt = evaluator.predict_dataset(
+        variables, ds_test, _resident_for(ds_test, cfg, resident_cache)
+    )
     results["test_id"] = _bootstrap_summary(test_probs, test_gt, n_bootstrap,
                                             seed)
     attach_predictions(meta_test, test_probs, diseases).to_csv(
@@ -208,7 +258,9 @@ def evaluate_checkpoint(
             drop=True
         )
         ds_od = InMemoryDataset(cache_dir, meta_od_known, diseases)
-        od_probs, od_gt = evaluator.predict_dataset(variables, ds_od)
+        od_probs, od_gt = evaluator.predict_dataset(
+            variables, ds_od, _resident_for(ds_od, cfg, resident_cache)
+        )
         results["test_od"] = _bootstrap_summary(od_probs, od_gt, n_bootstrap,
                                                 seed)
         attach_predictions(meta_od_known, od_probs, diseases).to_csv(
@@ -236,6 +288,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     out = []
+    resident_cache: dict = {}  # cohorts upload once across all checkpoints
     for i, c in enumerate(args.checkpoints):
         out.append(
             evaluate_checkpoint(
@@ -249,6 +302,7 @@ def main(argv=None):
                 n_bootstrap=args.num_bootstrap,
                 skip_if_exists=not args.no_skip,
                 model_index=i,
+                resident_cache=resident_cache,
             )
         )
     print(json.dumps([
