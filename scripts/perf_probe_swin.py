@@ -85,20 +85,6 @@ class StageModule(nn.Module):
 def main():
     rng = np.random.default_rng(0)
 
-    # full model
-    from vsn_tpu.config import load_config
-    from vsn_tpu.models import build_model
-
-    cfg = load_config(
-        override_path="vsn_tpu/configs/swin-5c-no_seed-baseline.yaml",
-        extra_overrides=dict(SEED=0),
-    )
-    model = build_model(cfg)
-    x_full = jnp.asarray(
-        rng.standard_normal((MICRO, *cfg.input_size, 1)), DT
-    )
-    grad_time("full", model, x_full, n=4)
-
     # stages
     for i, st in enumerate(STAGES):
         res, c, depth, heads, down = st
@@ -143,6 +129,20 @@ def main():
             )(xx, None, deterministic)
 
     grad_time("s1_block_sh", AttnBlock(), x1)
+
+    # full model last (largest compile; a worker crash here keeps the rest)
+    from vsn_tpu.config import load_config
+    from vsn_tpu.models import build_model
+
+    cfg = load_config(
+        override_path="vsn_tpu/configs/swin-5c-no_seed-baseline.yaml",
+        extra_overrides=dict(SEED=0),
+    )
+    model = build_model(cfg)
+    x_full = jnp.asarray(
+        rng.standard_normal((MICRO, *cfg.input_size, 1)), DT
+    )
+    grad_time("full", model, x_full, n=4)
 
 
 if __name__ == "__main__":
