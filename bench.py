@@ -94,10 +94,12 @@ def main():
     if os.environ.get("VSN_BENCH_VERBOSE"):
         print(f"[bench] compiling... (world={world}, accum={grad_accum}, "
               f"micro={micro})", file=sys.stderr)
+    # Force a device->host scalar fetch to sync: jax.block_until_ready does
+    # not reliably sync through the axon tunnel (CLAUDE.md).
     t_c = time.perf_counter()
     for i in range(warmup):
         state, m = step(state, batch, base_rng)
-        jax.block_until_ready(m["loss"])
+        _ = float(jax.numpy.asarray(m["loss"]))
         if os.environ.get("VSN_BENCH_VERBOSE"):
             print(f"[bench] warmup {i}: {time.perf_counter() - t_c:.1f}s",
                   file=sys.stderr)
@@ -106,7 +108,7 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, m = step(state, batch, base_rng)
-    jax.block_until_ready(m["loss"])
+    _ = float(jax.numpy.asarray(m["loss"]))
     dt = time.perf_counter() - t0
 
     vols_per_sec = volumes_per_step * n_steps / dt

@@ -85,13 +85,7 @@ class StageModule(nn.Module):
 def main():
     rng = np.random.default_rng(0)
 
-    # stages
-    for i, st in enumerate(STAGES):
-        res, c, depth, heads, down = st
-        x = jnp.asarray(rng.standard_normal((MICRO, *res, c)), DT)
-        grad_time(f"stage{i + 1}", StageModule(cfg=st), x, n=6)
-
-    # stage-1 micro ops
+    # stage-1 micro ops first: smallest compiles, the actionable data
     res, c = (36, 42, 36), 96
     x1 = jnp.asarray(rng.standard_normal((MICRO, *res, c)), DT)
 
@@ -100,14 +94,16 @@ def main():
         return jnp.roll(r, shift=(3, 3, 3), axis=(1, 2, 3)).astype(
             jnp.float32).sum()
 
-    timeit("s1_roll", lambda: jax.jit(jax.grad(roll_fn))(x1), n=8)
+    roll_g = jax.jit(jax.grad(roll_fn))
+    timeit("s1_roll", lambda: roll_g(x1), n=8)
 
     def part_fn(xx):
         w = window_partition(xx, WINDOW)
         return window_reverse(w * 1.000001, WINDOW, res).astype(
             jnp.float32).sum()
 
-    timeit("s1_part", lambda: jax.jit(jax.grad(part_fn))(x1), n=8)
+    part_g = jax.jit(jax.grad(part_fn))
+    timeit("s1_part", lambda: part_g(x1), n=8)
 
     class MlpBlock(nn.Module):
         @nn.compact
@@ -129,6 +125,12 @@ def main():
             )(xx, None, deterministic)
 
     grad_time("s1_block_sh", AttnBlock(), x1)
+
+    # stages (stage1 has crashed the worker before — keep after micro ops)
+    for i, st in enumerate(STAGES):
+        sres, sc, depth, heads, down = st
+        x = jnp.asarray(rng.standard_normal((MICRO, *sres, sc)), DT)
+        grad_time(f"stage{i + 1}", StageModule(cfg=st), x, n=6)
 
     # full model last (largest compile; a worker crash here keeps the rest)
     from vsn_tpu.config import load_config

@@ -162,47 +162,42 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
     compute_dtype = jnp.bfloat16 if cfg.get("FP16", True) else jnp.float32
 
-    def transform_all(batch, step_rng, resident=None):
-        """Apply mix + augmentation to every micro-batch ONCE per step.
+    def accumulate(params, model_state, batch, step_rng, pass_idx,
+                   resident=None):
+        """Mean loss/grads over the micro-batch axis via scan.
 
-        The SAM second pass then replays the exact same transformed
-        micro-batches — matching the reference's host-side caching
-        (train_transformer.py:1223-1243) and halving augmentation cost.
+        The mix + augmentation transform runs INSIDE the scan body with a
+        data RNG that does not depend on ``pass_idx``, so the SAM second
+        pass recomputes bit-identical micro-batches — the memory-lean
+        equivalent of the reference's host-side micro-batch caching
+        (train_transformer.py:1223-1243). Materializing the transformed
+        step batch once (the previous design) keeps an extra
+        [A, B, D, H, W, C] buffer live across both SAM passes; at
+        effective-batch 128 with MixUp + EMA that ~890 MB tipped the full
+        stabilization config over v5e HBM and the step fell off an 18x
+        paging cliff (see BASELINE.md, regression postmortem).
+
+        BN stats update sequentially across micro-batches, like the
+        reference's sequential micro-batch forwards; dropout streams differ
+        between the two SAM passes.
 
         ``resident`` is an optional ResidentVolumes store: when the batch
         carries image_idx/partner_idx instead of voxel data, volumes are
-        gathered on device here (vsn_tpu/data/resident.py).
+        gathered on device per micro-batch (vsn_tpu/data/resident.py).
         """
         from vsn_tpu.data.resident import resolve_micro
 
         a = batch["label"].shape[0]
 
-        def body(_, xs):
+        def body(carry, xs):
+            acc_loss, acc_grads, mstate = carry
             micro, idx = xs
             micro = resolve_micro(micro, resident)
             data_rng = jax.random.fold_in(
                 jax.random.fold_in(step_rng, 999), idx
             )
-            images, labels = batch_transform(micro, data_rng)
-            return None, (images.astype(compute_dtype), labels)
-
-        _, (images, labels) = jax.lax.scan(
-            body, None, (batch, jnp.arange(a))
-        )
-        return images, labels
-
-    def accumulate(params, model_state, images, labels, step_rng, pass_idx):
-        """Mean loss/grads over the micro-batch axis via scan.
-
-        BN stats update sequentially across micro-batches, like the
-        reference's sequential micro-batch forwards; dropout streams differ
-        between the two SAM passes.
-        """
-        a = images.shape[0]
-
-        def body(carry, xs):
-            acc_loss, acc_grads, mstate = carry
-            img, lab, idx = xs
+            img, lab = batch_transform(micro, data_rng)
+            img = img.astype(compute_dtype)
             rng = jax.random.fold_in(step_rng, idx * 2 + pass_idx)
             rngs = {
                 "dropout": jax.random.fold_in(rng, 0),
@@ -223,7 +218,7 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
         (tot_loss, tot_grads, new_mstate), _ = jax.lax.scan(
             body,
             (jnp.zeros((), jnp.float32), zero_grads, model_state),
-            (images, labels, jnp.arange(a)),
+            (batch, jnp.arange(a)),
         )
         inv = 1.0 / a
         return tot_loss * inv, optim.tree_scale(tot_grads, inv), new_mstate
@@ -233,10 +228,9 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
         lr = lr_table[jnp.minimum(step, lr_table.shape[0] - 1)]
         wd = wd_table[jnp.minimum(step, wd_table.shape[0] - 1)]
         step_rng = jax.random.fold_in(base_rng, step)
-        images, labels = transform_all(batch, step_rng, resident)
 
         loss, grads, mstate = accumulate(
-            state.params, state.model_state, images, labels, step_rng, 0
+            state.params, state.model_state, batch, step_rng, 0, resident
         )
         finite = optim.all_finite(grads) & jnp.isfinite(loss)
 
@@ -251,7 +245,7 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
             )
             params_adv = optim.tree_add(state.params, e_w)
             loss2, grads2, mstate = accumulate(
-                params_adv, mstate, images, labels, step_rng, 1
+                params_adv, mstate, batch, step_rng, 1, resident
             )
             finite = finite & optim.all_finite(grads2) & jnp.isfinite(loss2)
             if clip is not None:
