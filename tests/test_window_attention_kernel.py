@@ -162,3 +162,77 @@ def test_swin_model_paths_agree():
     np.testing.assert_allclose(
         np.asarray(out_pl), np.asarray(out_xla), rtol=1e-4, atol=1e-4
     )
+
+
+def test_windowed_blockspec_kernel_matches_reference():
+    """v3 kernel (unpartitioned [B,D,H,W,3C] in / [B,D,H,W,C] out) vs the
+    partition+reference oracle, shifted region ids, incl. gradients."""
+    from vsn_tpu.models.swin3d import window_partition, window_reverse
+    from vsn_tpu.ops.window_attention import fused_window_attention_windows
+
+    dims, window, shift = (4, 4, 4), (2, 2, 2), (1, 1, 1)
+    b, heads, hd = 2, 2, 4
+    c = heads * hd
+    n = 8
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(
+        rng.standard_normal((b, *dims, 3 * c)), jnp.float32
+    )
+    bias = jnp.asarray(rng.standard_normal((heads, n, n)) * 0.1, jnp.float32)
+    ids = jnp.asarray(shifted_window_region_ids(dims, window, shift))
+    scale = 0.4
+
+    def oracle(qkv, bias):
+        wins = window_partition(qkv, window)  # [B*nW, N, 3C]
+        bw = wins.shape[0]
+        q, k, v = jnp.split(wins, 3, axis=-1)
+        sh = lambda t: t.reshape(bw, n, heads, hd).transpose(0, 2, 1, 3)
+        r = window_attention_reference(sh(q), sh(k), sh(v), bias, ids, scale)
+        r = r.transpose(0, 2, 1, 3).reshape(bw, n, c)
+        return window_reverse(r, window, dims)
+
+    out = fused_window_attention_windows(qkv, bias, ids, scale, heads, window)
+    ref = oracle(qkv, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    ct = jnp.asarray(rng.standard_normal(ref.shape), jnp.float32)
+
+    def f_fused(qkv, bias):
+        return (fused_window_attention_windows(
+            qkv, bias, ids, scale, heads, window) * ct).sum()
+
+    def f_ref(qkv, bias):
+        return (oracle(qkv, bias) * ct).sum()
+
+    gf = jax.grad(f_fused, argnums=(0, 1))(qkv, bias)
+    gr = jax.grad(f_ref, argnums=(0, 1))(qkv, bias)
+    for name, a, b_ in zip(("qkv", "bias"), gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_windowed_blockspec_kernel_unshifted_rect():
+    """v3 kernel on a rectangular grid (different nW per axis), no shift."""
+    from vsn_tpu.models.swin3d import window_partition, window_reverse
+    from vsn_tpu.ops.window_attention import fused_window_attention_windows
+
+    dims, window = (4, 6, 2), (2, 3, 2)
+    b, heads, hd = 1, 3, 2
+    c = heads * hd
+    n = 12
+    rng = np.random.default_rng(1)
+    qkv = jnp.asarray(rng.standard_normal((b, *dims, 3 * c)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, n, n)) * 0.1, jnp.float32)
+    ids = jnp.zeros((1, n), jnp.int32)
+    scale = 0.3
+
+    out = fused_window_attention_windows(qkv, bias, ids, scale, heads, window)
+    wins = window_partition(qkv, window)
+    bw = wins.shape[0]
+    q, k, v = jnp.split(wins, 3, axis=-1)
+    sh = lambda t: t.reshape(bw, n, heads, hd).transpose(0, 2, 1, 3)
+    r = window_attention_reference(sh(q), sh(k), sh(v), bias, ids, scale)
+    ref = window_reverse(r.transpose(0, 2, 1, 3).reshape(bw, n, c), window, dims)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -368,6 +368,231 @@ fused_window_attention_qkv.defvjp(_fwd_qkv_fwd, _bwd_qkv_vjp)
 
 
 # ---------------------------------------------------------------------------
+# v3: windowed-BlockSpec kernel — partition/reverse never touch HBM
+# ---------------------------------------------------------------------------
+#
+# v3 reads the UNPARTITIONED [B, D, H, W, 3C] qkv tensor directly and
+# writes merged-head output into [B, D, H, W, C]: the grid blocks
+# (1, wd, wh, W, 3C) tile over (batch, D-windows, H-windows) — Mosaic
+# requires the last two block dims be full-size or (8, 128)-divisible, so
+# the W axis stays whole and the kernel loops over its windows with
+# VMEM-local slices.
+#
+# MEASURED SLOWER than v2 + explicit partition (stage-1 attn half at micro
+# 8: 30.8 ms vs 23.3 ms): the in-VMEM (wd, wh, ww, C) <-> (N, C) flattens
+# interleave 8-padded sublane tiles per window and cost more than the HBM
+# partition they replace. Kept as a working reference for window-blocked
+# BlockSpecs; production uses the partitioned [BW, N, C] layout (N=252 pads
+# to 256 sublanes — 1.6% waste vs 33% for window-tiled spatial dims).
+
+def _fwd_win_kernel(ids_ref, qkv_ref, bias_ref, out_ref, *,
+                    scale, n_heads, window, nwin):
+    wd, wh, ww = window
+    n = wd * wh * ww
+    c3 = qkv_ref.shape[4]
+    c = c3 // 3
+    d = c // n_heads
+    w_rows = ids_ref.shape[0]
+    nwh, nww = nwin[1], nwin[2]
+    i, j = pl.program_id(1), pl.program_id(2)
+    for kw in range(nww):
+        row = ((i * nwh + j) * nww + kw) % w_rows
+        mask = _mask_from_ids(ids_ref[row, 0])
+        qkv = qkv_ref[0, :, :, kw * ww:(kw + 1) * ww, :].astype(
+            jnp.float32).reshape(n, c3)
+        outs = []
+        for h in range(n_heads):
+            q = qkv[:, h * d:(h + 1) * d]
+            k = qkv[:, c + h * d:c + (h + 1) * d]
+            v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s + bias_ref[h] + mask
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(jnp.dot(p, v, preferred_element_type=jnp.float32))
+        out = jnp.concatenate(outs, axis=-1)
+        out_ref[0, :, :, kw * ww:(kw + 1) * ww, :] = out.reshape(
+            wd, wh, ww, c).astype(out_ref.dtype)
+
+
+def _fwd_win(qkv, bias, ids, scale, n_heads, window):
+    b, dd, hh, ww_ = qkv.shape[:4]
+    c3 = qkv.shape[4]
+    c = c3 // 3
+    wd, wh, ww = window
+    n = wd * wh * ww
+    w = ids.shape[0]
+    nwin = (dd // wd, hh // wh, ww_ // ww)
+
+    def blk_map(bi, i, j):
+        return (bi, i, j, 0, 0)
+
+    qkv_spec = pl.BlockSpec(
+        (1, wd, wh, ww_, c3), blk_map, memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, wd, wh, ww_, c), blk_map, memory_space=pltpu.VMEM
+    )
+    ids_spec = pl.BlockSpec(
+        (w, 1, n), lambda bi, i, j: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    bias_spec = pl.BlockSpec(
+        (n_heads, n, n), lambda bi, i, j: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_win_kernel, scale=scale, n_heads=n_heads,
+            window=tuple(window), nwin=nwin,
+        ),
+        grid=(b, nwin[0], nwin[1]),
+        in_specs=[ids_spec, qkv_spec, bias_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, dd, hh, ww_, c), qkv.dtype),
+        interpret=not _on_tpu(),
+    )(ids.reshape(w, 1, n), qkv, bias)
+
+
+def _bwd_win_kernel(ids_ref, qkv_ref, bias_ref, do_ref,
+                    dqkv_ref, dbias_ref, *, scale, n_heads, window, nwin):
+    first = (
+        (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+        & (pl.program_id(2) == 0)
+    )
+    wd, wh, ww = window
+    n = wd * wh * ww
+    c3 = qkv_ref.shape[4]
+    c = c3 // 3
+    d = c // n_heads
+    w_rows = ids_ref.shape[0]
+    nwh, nww = nwin[1], nwin[2]
+    i, j = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(first)
+    def _():
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    for kw in range(nww):
+        row = ((i * nwh + j) * nww + kw) % w_rows
+        mask = _mask_from_ids(ids_ref[row, 0])
+        qkv = qkv_ref[0, :, :, kw * ww:(kw + 1) * ww, :].astype(
+            jnp.float32).reshape(n, c3)
+        do_all = do_ref[0, :, :, kw * ww:(kw + 1) * ww, :].astype(
+            jnp.float32).reshape(n, c)
+
+        dparts = []
+        for h in range(n_heads):
+            q = qkv[:, h * d:(h + 1) * d]
+            k = qkv[:, c + h * d:c + (h + 1) * d]
+            v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
+            do = do_all[:, h * d:(h + 1) * d]
+
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = s + bias_ref[h] + mask
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+            dv = jax.lax.dot_general(
+                p, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+            dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+            dk = jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            dparts.append((dq, dk, dv))
+            dbias_ref[h] += ds
+
+        dqkv = jnp.concatenate(
+            [t[0] for t in dparts] + [t[1] for t in dparts]
+            + [t[2] for t in dparts],
+            axis=-1,
+        )
+        dqkv_ref[0, :, :, kw * ww:(kw + 1) * ww, :] = dqkv.reshape(
+            wd, wh, ww, c3).astype(dqkv_ref.dtype)
+
+
+def _bwd_win_vjp(scale, n_heads, window, res, do):
+    qkv, bias, ids = res
+    b, dd, hh, ww_ = qkv.shape[:4]
+    c3 = qkv.shape[4]
+    c = c3 // 3
+    wd, wh, ww = window
+    n = wd * wh * ww
+    w = ids.shape[0]
+    nwin = (dd // wd, hh // wh, ww_ // ww)
+
+    def blk_map(bi, i, j):
+        return (bi, i, j, 0, 0)
+
+    qkv_spec = pl.BlockSpec(
+        (1, wd, wh, ww_, c3), blk_map, memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, wd, wh, ww_, c), blk_map, memory_space=pltpu.VMEM
+    )
+    ids_spec = pl.BlockSpec(
+        (w, 1, n), lambda bi, i, j: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    bias_spec = pl.BlockSpec(
+        (n_heads, n, n), lambda bi, i, j: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    dqkv, dbias = pl.pallas_call(
+        functools.partial(
+            _bwd_win_kernel, scale=scale, n_heads=n_heads,
+            window=tuple(window), nwin=nwin,
+        ),
+        grid=(b, nwin[0], nwin[1]),
+        in_specs=[ids_spec, qkv_spec, bias_spec, out_spec],
+        out_specs=(qkv_spec, bias_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(qkv.shape, qkv.dtype),
+            jax.ShapeDtypeStruct(bias.shape, jnp.float32),
+        ),
+        interpret=not _on_tpu(),
+    )(ids.reshape(w, 1, n), qkv, bias, do)
+    return dqkv, dbias, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fused_window_attention_windows(qkv, bias, ids, scale, n_heads, window):
+    """Window attention over the UNPARTITIONED qkv tensor.
+
+    Args:
+        qkv: [B, D, H, W, 3C] — the qkv Dense output on the (rolled, padded)
+            feature map; D/H/W must be multiples of ``window``. Channel
+            layout [q_h0..q_hH | k_h0..k_hH | v_h0..v_hH], head dim C/H.
+        bias: [H, N, N] f32 relative-position bias (N = prod(window)).
+        ids: [W, N] int32 region ids; window (i, j, k) uses row
+            flat(i, j, k) % W. Unshifted layers pass one row of zeros.
+        scale, n_heads, window: static.
+    Returns: [B, D, H, W, C] merged-head output in qkv's dtype — no
+    window_partition / window_reverse relayouts anywhere.
+    """
+    return _fwd_win(qkv, bias, ids, scale, n_heads, window)
+
+
+def _fwd_win_fwd(qkv, bias, ids, scale, n_heads, window):
+    return _fwd_win(qkv, bias, ids, scale, n_heads, window), (qkv, bias, ids)
+
+
+fused_window_attention_windows.defvjp(_fwd_win_fwd, _bwd_win_vjp)
+
+
+# ---------------------------------------------------------------------------
 # XLA reference (fallback + test oracle)
 # ---------------------------------------------------------------------------
 
