@@ -66,6 +66,80 @@ def main():
     rng = np.random.default_rng(0)
     x1 = jnp.asarray(rng.standard_normal((MICRO, *RES, C)), DT)
 
+    if os.environ.get("VSN_PROBE_FUSED"):
+        from vsn_tpu.models.swin3d import SwinBlock3D
+
+        class FusedBlock(nn.Module):
+            shifted: bool
+
+            @nn.compact
+            def __call__(self, xx, deterministic=True):
+                ids = (
+                    jnp.asarray(
+                        shifted_window_region_ids(RES, WINDOW, SHIFT)
+                    ) if self.shifted else None
+                )
+                return SwinBlock3D(
+                    num_heads=3, window=WINDOW,
+                    shift=SHIFT if self.shifted else (0, 0, 0),
+                    use_pallas=True, dtype=DT, name="blk",
+                )(xx, ids, deterministic)
+
+        grad_time("s1_fblk_ns", FusedBlock(shifted=False), x1)
+        grad_time("s1_fblk_sh", FusedBlock(shifted=True), x1)
+
+        from vsn_tpu.ops.swin_block_kernels import (
+            fused_attn_half, fused_ln_mlp, mlp_tile_rows,
+        )
+
+        class FAttn(nn.Module):
+            @nn.compact
+            def __call__(self, xx, deterministic=True):
+                from vsn_tpu.models.swin3d import (
+                    _AttnParams, _NormParams, relative_position_index,
+                )
+                n = WINDOW[0] * WINDOW[1] * WINDOW[2]
+                lng, lnb = _NormParams(C, name="norm1")()
+                bt, wqkv, bqkv, wproj, bproj = _AttnParams(
+                    dim=C, num_heads=3, window=WINDOW, qkv_bias=True,
+                    enable_stable=False, attn_drop=0.0, proj_drop=0.0,
+                    name="attn",
+                )()
+                rel = relative_position_index(WINDOW)
+                bias = bt[rel.reshape(-1)].reshape(n, n, 3).transpose(2, 0, 1)
+                wdws = window_partition(xx, WINDOW)
+                ids = jnp.zeros((1, n), jnp.int32)
+                o = fused_attn_half(wdws, lng, lnb, wqkv, bqkv, bias, ids,
+                                    wproj, bproj, (C // 3) ** -0.5, 3)
+                return window_reverse(o, WINDOW, RES)
+
+        grad_time("s1_fattn", FAttn(), x1)
+
+        class FMlp(nn.Module):
+            @nn.compact
+            def __call__(self, xx, deterministic=True):
+                from vsn_tpu.models.swin3d import _MlpParams, _NormParams
+                from vsn_tpu.models.layers import trunc_normal_init
+                lng, lnb = _NormParams(C, name="norm2")()
+                w1, b1, w2, b2 = _MlpParams(
+                    dim=C, hidden=4 * C,
+                    kernel_init=trunc_normal_init(0.02), name="mlp",
+                )()
+                t = xx.size // C
+                flat = xx.reshape(t, C)
+                return fused_ln_mlp(
+                    flat, lng, lnb, w1, b1, w2, b2, mlp_tile_rows(t)
+                ).reshape(xx.shape)
+
+        grad_time("s1_fmlp", FMlp(), x1)
+
+        def res_fn(xx):
+            return (xx + xx * 1.000001).astype(jnp.float32).sum()
+
+        gres = jax.jit(jax.grad(res_fn))
+        timeit("s1_resadd", lambda: gres(x1))
+        return
+
     def roll_fn(xx):
         r = jnp.roll(xx, shift=(-3, -3, -3), axis=(1, 2, 3))
         return jnp.roll(r, shift=(3, 3, 3), axis=(1, 2, 3)).astype(

@@ -1,0 +1,211 @@
+"""Fused Swin block-half kernels vs unfused oracles (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import linen as nn
+
+from vsn_tpu.models.swin3d import (
+    SwinBlock3D,
+    shifted_window_region_ids,
+    window_partition,
+    window_reverse,
+)
+from vsn_tpu.ops.swin_block_kernels import (
+    fused_attn_half,
+    fused_ln_mlp,
+    mlp_tile_rows,
+)
+from vsn_tpu.ops.window_attention import window_attention_reference
+
+
+def _ln(x, g, b, eps=1e-5):
+    mu = x.mean(-1, keepdims=True)
+    xc = x - mu
+    var = (xc * xc).mean(-1, keepdims=True)
+    return xc * jax.lax.rsqrt(var + eps) * g + b
+
+
+def test_fused_attn_half_matches_oracle():
+    dims, window, shift = (4, 4, 4), (2, 2, 2), (1, 1, 1)
+    b, heads, hd = 2, 2, 4
+    c = heads * hd
+    n = 8
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(shifted_window_region_ids(dims, window, shift))
+    w = ids.shape[0]
+    bw = b * w
+    x = jnp.asarray(rng.standard_normal((bw, n, c)), jnp.float32)
+    lng = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.standard_normal(3 * c) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, n, n)) * 0.1, jnp.float32)
+    wproj = jnp.asarray(rng.standard_normal((c, c)) * 0.1, jnp.float32)
+    bproj = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+    scale = hd**-0.5
+
+    def oracle(x, lng, lnb, wqkv, bqkv, bias, wproj, bproj):
+        y = _ln(x, lng, lnb)
+        qkv = y @ wqkv + bqkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        sh = lambda t: t.reshape(bw, n, heads, hd).transpose(0, 2, 1, 3)
+        r = window_attention_reference(sh(q), sh(k), sh(v), bias, ids, scale)
+        r = r.transpose(0, 2, 1, 3).reshape(bw, n, c)
+        return r @ wproj + bproj
+
+    args = (x, lng, lnb, wqkv, bqkv, bias, wproj, bproj)
+    out = fused_attn_half(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
+                          scale, heads)
+    ref = oracle(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    ct = jnp.asarray(rng.standard_normal(ref.shape), jnp.float32)
+
+    def f_fused(*a):
+        return (fused_attn_half(a[0], a[1], a[2], a[3], a[4], a[5], ids,
+                                a[6], a[7], scale, heads) * ct).sum()
+
+    def f_ref(*a):
+        return (oracle(a[0], a[1], a[2], a[3], a[4], a[5], a[6], a[7])
+                * ct).sum()
+
+    argnums = tuple(range(8))
+    fused_args = (x, lng, lnb, wqkv, bqkv, bias, wproj, bproj)
+    gf = jax.grad(f_fused, argnums=argnums)(*fused_args)
+    gr = jax.grad(f_ref, argnums=argnums)(*fused_args)
+    names = ("x", "lng", "lnb", "wqkv", "bqkv", "bias", "wproj", "bproj")
+    for name, a, b_ in zip(names, gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+
+
+def test_fused_ln_mlp_matches_oracle_multi_tile():
+    t, c, hid = 1024, 16, 64
+    tile = mlp_tile_rows(t)
+    assert tile == 512  # two programs -> exercises dW accumulation
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((t, c)), jnp.float32)
+    lng = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((c, hid)) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(hid) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((hid, c)) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+
+    def oracle(x, lng, lnb, w1, b1, w2, b2):
+        y = _ln(x, lng, lnb)
+        h = nn.gelu(y @ w1 + b1, approximate=False)
+        return h @ w2 + b2
+
+    out = fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2, tile)
+    ref = oracle(x, lng, lnb, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    ct = jnp.asarray(rng.standard_normal(ref.shape), jnp.float32)
+
+    def f_fused(*a):
+        return (fused_ln_mlp(*a, tile) * ct).sum()
+
+    def f_ref(*a):
+        return (oracle(*a) * ct).sum()
+
+    args = (x, lng, lnb, w1, b1, w2, b2)
+    gf = jax.grad(f_fused, argnums=tuple(range(7)))(*args)
+    gr = jax.grad(f_ref, argnums=tuple(range(7)))(*args)
+    for name, a, b_ in zip(("x", "lng", "lnb", "w1", "b1", "w2", "b2"),
+                           gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=5e-4, err_msg=name)
+
+
+def test_mlp_tile_rows():
+    assert mlp_tile_rows(435456) > 0
+    assert 435456 % mlp_tile_rows(435456) == 0
+    assert mlp_tile_rows(435456) % 8 == 0
+    assert mlp_tile_rows(7) == 0  # prime, no multiple-of-8 divisor
+
+
+class _ForceTpu:
+    """Patch jax.devices + interpret gate so the fused path runs on CPU."""
+
+    def __enter__(self):
+        import vsn_tpu.ops.window_attention as wa
+
+        self._wa = wa
+        self._orig_on_tpu = wa._on_tpu
+        wa._on_tpu = lambda: False
+        self._real_devices = jax.devices
+
+        class FakeDev:
+            platform = "tpu"
+
+        real = self._real_devices
+        jax.devices = (
+            lambda *a, **k: [FakeDev()] if not a and not k else real(*a, **k)
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self._wa._on_tpu = self._orig_on_tpu
+        jax.devices = self._real_devices
+
+
+def _block_kwargs(shifted):
+    return dict(
+        num_heads=2,
+        window=(2, 2, 2),
+        shift=(1, 1, 1) if shifted else (0, 0, 0),
+        mlp_ratio=2.0,
+        drop_path_rate=0.0,
+        use_pallas=True,
+    )
+
+
+@pytest.mark.parametrize("shifted", [False, True])
+def test_fused_block_matches_unfused(shifted):
+    dims = (4, 4, 4)
+    c = 8
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((2, *dims, c)), jnp.float32)
+    ids = (
+        jnp.asarray(shifted_window_region_ids(dims, (2, 2, 2), (1, 1, 1)))
+        if shifted else None
+    )
+
+    blk_unfused = SwinBlock3D(**{**_block_kwargs(shifted), "use_pallas": False})
+    variables = blk_unfused.init(jax.random.key(0), x, ids, True)
+    out_ref = blk_unfused.apply(variables, x, ids, True)
+
+    blk_fused = SwinBlock3D(**_block_kwargs(shifted))
+    with _ForceTpu():
+        # param trees must be interchangeable between paths
+        v_fused = blk_fused.init(jax.random.key(0), x, ids, True)
+        assert (
+            jax.tree.structure(v_fused) == jax.tree.structure(variables)
+        )
+        out_fused = blk_fused.apply(variables, x, ids, True)
+
+        # gradients agree through both halves
+        def loss_fused(p):
+            return blk_fused.apply({"params": p}, x, ids, True).sum()
+
+        g_fused = jax.grad(loss_fused)(variables["params"])
+
+    def loss_ref(p):
+        return blk_unfused.apply({"params": p}, x, ids, True).sum()
+
+    g_ref = jax.grad(loss_ref)(variables["params"])
+
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-4)
+    flat_f = jax.tree.leaves_with_path(g_fused)
+    flat_r = dict(jax.tree.leaves_with_path(g_ref))
+    for path, leaf in flat_f:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_r[path]),
+            rtol=1e-3, atol=1e-3, err_msg=str(path),
+        )

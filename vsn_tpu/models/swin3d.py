@@ -167,6 +167,124 @@ def shifted_window_mask(
 # Modules
 # ---------------------------------------------------------------------------
 
+def _apply_layernorm(x, scale, bias, dtype):
+    """Plain LayerNorm (epsilon 1e-5) on raw scale/bias params — XLA
+    fallback for the fused path's declared params."""
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = (xc * xc).mean(axis=-1, keepdims=True)
+    y = xc * jax.lax.rsqrt(var + 1e-5) * scale + bias
+    return y.astype(dtype)
+
+
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-compatible params (kernel/bias) without applying —
+    used by the fused-kernel path so its param tree is bit-identical to the
+    unfused module tree (checkpoints interoperate)."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    kernel_init: object = None
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", self.kernel_init, (self.in_features, self.features),
+            jnp.float32,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,),
+                jnp.float32,
+            )
+        else:
+            bias = jnp.zeros((self.features,), jnp.float32)
+        return kernel, bias
+
+
+class _NormParams(nn.Module):
+    """nn.LayerNorm-compatible scale/bias params."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,),
+            jnp.float32,
+        )
+        return scale, bias
+
+
+class _AttnParams(nn.Module):
+    """WindowAttention3D-compatible params for the fused-kernel path."""
+
+    dim: int
+    num_heads: int
+    window: Tuple[int, int, int]
+    qkv_bias: bool
+    enable_stable: bool
+    attn_drop: float
+    proj_drop: float
+
+    @nn.compact
+    def __call__(self):
+        table_size = (
+            (2 * self.window[0] - 1)
+            * (2 * self.window[1] - 1)
+            * (2 * self.window[2] - 1)
+        )
+        bias_table = self.param(
+            "relative_position_bias_table",
+            trunc_normal_init(0.02),
+            (table_size, self.num_heads),
+            jnp.float32,
+        )
+        qkv_init = (
+            stable_qkv_init(self.dim, self.attn_drop)
+            if self.enable_stable
+            else trunc_normal_init(0.02)
+        )
+        wqkv, bqkv = _DenseParams(
+            self.dim, 3 * self.dim, use_bias=self.qkv_bias,
+            kernel_init=qkv_init, name="qkv",
+        )()
+        proj_init = (
+            normal_init(stable_vproj_std(self.dim, self.proj_drop))
+            if self.enable_stable
+            else trunc_normal_init(0.02)
+        )
+        wproj, bproj = _DenseParams(
+            self.dim, self.dim, use_bias=True,
+            kernel_init=proj_init, name="proj",
+        )()
+        return bias_table, wqkv, bqkv, wproj, bproj
+
+
+class _MlpParams(nn.Module):
+    """Mlp-compatible fc1/fc2 params for the fused-kernel path."""
+
+    dim: int
+    hidden: int
+    kernel_init: object = None
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(
+            self.dim, self.hidden, kernel_init=self.kernel_init, name="fc1"
+        )()
+        w2, b2 = _DenseParams(
+            self.hidden, self.dim, kernel_init=self.kernel_init, name="fc2"
+        )()
+        return w1, b1, w2, b2
+
+
 class WindowAttention3D(nn.Module):
     """Window MSA with 3D relative-position bias
     (reference swin_transformer_3d.py:106-199).
@@ -325,6 +443,9 @@ class SwinBlock3D(nn.Module):
         shortcut = x
         shifted = any(s > 0 for s in self.shift)
 
+        if self._fused_ok(c):
+            return self._fused_call(x, region_ids, deterministic, residual_kw)
+
         h_in = x if self.post_norm else norm_ctor(name="norm1")(x)
         if shifted:
             h_in = jnp.roll(
@@ -368,6 +489,106 @@ class SwinBlock3D(nn.Module):
         if self.post_norm:
             mlp_out = norm_ctor(name="norm2")(mlp_out)
         x = ResidualBranch(**residual_kw, name="res2")(x, mlp_out, deterministic)
+        return x
+
+    def _fused_ok(self, c: int) -> bool:
+        """Static gate for the fully-fused block kernels: pre-norm
+        LayerNorm, zero dropout, VMEM fits, on TPU. The fused path declares
+        a bit-identical param tree, so mixed init/apply environments (e.g.
+        CPU init, TPU apply) interoperate."""
+        from vsn_tpu.ops.swin_block_kernels import attn_half_vmem_ok
+
+        n = self.window[0] * self.window[1] * self.window[2]
+        return (
+            self.use_pallas
+            and not self.post_norm
+            and self.norm_layer in (None, False, "nn.LayerNorm", "LayerNorm")
+            and self.dropout == 0.0
+            and self.attention_dropout == 0.0
+            and attn_half_vmem_ok(c, n, self.num_heads)
+            and jax.devices()[0].platform == "tpu"
+        )
+
+    def _fused_call(self, x, region_ids, deterministic, residual_kw):
+        """Fused-kernel block: LN1+qkv+attention+proj in one Pallas program
+        per window, LN2+MLP on flat token tiles. Residuals (DropPath /
+        ShakeDrop / LayerScale / stable gains) stay in ResidualBranch."""
+        from vsn_tpu.ops.swin_block_kernels import (
+            fused_attn_half,
+            fused_ln_mlp,
+            ln_mlp_vmem_ok,
+            mlp_tile_rows,
+        )
+
+        b, d, h, w, c = x.shape
+        n = self.window[0] * self.window[1] * self.window[2]
+        head_dim = c // self.num_heads
+        scale = head_dim**-0.5
+        shifted = any(s > 0 for s in self.shift)
+
+        lng1, lnb1 = _NormParams(c, name="norm1")()
+        bias_table, wqkv, bqkv, wproj, bproj = _AttnParams(
+            dim=c, num_heads=self.num_heads, window=tuple(self.window),
+            qkv_bias=self.qkv_bias, enable_stable=self.enable_stable,
+            attn_drop=self.attention_dropout, proj_drop=self.dropout,
+            name="attn",
+        )()
+        rel_idx = relative_position_index(self.window)
+        bias = bias_table[rel_idx.reshape(-1)].reshape(n, n, self.num_heads)
+        bias = bias.transpose(2, 0, 1)  # [H, N, N]
+
+        h_in = x
+        if shifted:
+            h_in = jnp.roll(
+                h_in, shift=(-self.shift[0], -self.shift[1], -self.shift[2]),
+                axis=(1, 2, 3),
+            )
+        windows = window_partition(h_in, self.window)  # raw, pre-norm
+        if region_ids is None or not shifted:
+            ids = jnp.zeros((1, n), jnp.int32)
+        else:
+            ids = region_ids.astype(jnp.int32)
+        attn_windows = fused_attn_half(
+            windows, lng1, lnb1, wqkv, bqkv, bias, ids, wproj, bproj,
+            scale, self.num_heads,
+        )
+        attn_out = window_reverse(attn_windows, self.window, (d, h, w))
+        if shifted:
+            attn_out = jnp.roll(attn_out, shift=self.shift, axis=(1, 2, 3))
+        x = ResidualBranch(**residual_kw, name="res1")(
+            x, attn_out.astype(self.dtype), deterministic
+        )
+
+        hidden = int(c * self.mlp_ratio)
+        mlp_init = (
+            normal_init(stable_vproj_std(c, self.dropout))
+            if self.enable_stable
+            else trunc_normal_init(0.02)
+        )
+        lng2, lnb2 = _NormParams(c, name="norm2")()
+        w1, b1, w2, b2 = _MlpParams(
+            dim=c, hidden=hidden, kernel_init=mlp_init, name="mlp"
+        )()
+        t = b * d * h * w
+        tile = mlp_tile_rows(t)
+        if tile and ln_mlp_vmem_ok(c, hidden, tile):
+            flat = x.reshape(t, c)
+            mlp_out = fused_ln_mlp(
+                flat, lng2, lnb2, w1, b1, w2, b2, tile
+            ).reshape(x.shape)
+        else:
+            # fused MLP kernel not applicable; same math via XLA on the
+            # declared params
+            y = _apply_layernorm(x, lng2, lnb2, self.dtype)
+            h1 = jnp.dot(y, w1.astype(self.dtype)) + b1.astype(self.dtype)
+            hact = nn.gelu(h1.astype(jnp.float32), approximate=False)
+            mlp_out = (
+                jnp.dot(hact.astype(self.dtype), w2.astype(self.dtype))
+                + b2.astype(self.dtype)
+            )
+        x = ResidualBranch(**residual_kw, name="res2")(
+            x, mlp_out.astype(self.dtype), deterministic
+        )
         return x
 
 

@@ -1,0 +1,532 @@
+"""Fully-fused Swin block halves as Pallas TPU kernels.
+
+Motivation (measured at micro 8, stage-1 Swin-T shapes, fwd+bwd): the
+attention half-block costs 23.3 ms of which only ~10.7 ms is the v2
+attention kernel — the rest is LN (5.2 ms), the qkv round trip (252 MB
+HBM), and proj traffic; the LN+MLP half costs another 13.4 ms. Every
+elementwise/relayout pass over the [B, 36, 42, 36, 96] bf16 feature map
+runs at ~15% of HBM bandwidth because the (W=36, C=96) trailing dims pad
+to (48, 128) bf16 tiles. In the partitioned [BW, N=252, C] window layout
+the padding waste is 1.6%, so the fix is to do *everything* there:
+
+  * ``fused_attn_half``: LN1 -> qkv projection -> per-head
+    softmax(q k^T * scale + rel-pos bias + region mask) v -> merged-head
+    proj, one VMEM program per window. HBM traffic per block drops from
+    ~840 MB to ~170 MB (read x windows, write out windows).
+  * ``fused_ln_mlp``: LN2 -> fc1 -> exact GELU -> fc2 on flat token tiles
+    [T, C] (MLP needs no spatial structure).
+
+Both carry full custom VJPs: parameter gradients (LN scale/bias, qkv/proj
+and fc1/fc2 weights+biases, relative-position bias) are accumulated into
+revisited output blocks across the sequential TPU grid — the standard
+Pallas revisiting-output pattern. Matmul operands are cast to bf16 (f32
+accumulation), matching the XLA path's bf16 Dense semantics; softmax and
+LN statistics stay f32.
+
+Residual adds, DropPath/ShakeDrop/LayerScale/stable-gain logic stay
+outside in ``ResidualBranch`` (cheap elementwise, and ShakeDrop has its
+own custom VJP). Kernels are only used when dropout rates are 0 and the
+norm is pre-norm LayerNorm (the reference defaults,
+config-defaults.yaml:39-58); other configs use the unfused path.
+
+Reference semantics: models/swin_transformer_3d.py:106-199 (attention),
+52-69 (MLP), 202-382 (block wiring).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vsn_tpu.ops import window_attention as _wa
+from vsn_tpu.ops.window_attention import _mask_from_ids
+
+LN_EPS = 1e-5  # models/layers.py make_norm: nn.LayerNorm(epsilon=1e-5)
+
+# Stage-3/4 backward kernels keep f32 weight blocks + their grad
+# accumulators resident (e.g. Swin-T stage 4: ~18 MB scoped), past the
+# 16 MB default scoped-VMEM limit. v5e has 128 MB VMEM; leave headroom for
+# double-buffered DMA.
+_CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+_SQRT_2 = 1.4142135623730951
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _ln_fwd(x, g, b):
+    """LayerNorm over the last dim, f32. Returns (y, xhat, rstd)."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    xc = x - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + LN_EPS)
+    xhat = xc * rstd
+    return xhat * g + b, xhat, rstd
+
+
+def _ln_bwd(dy, g, xhat, rstd):
+    """Given upstream dy, return (dx, dg_partial, db_partial)."""
+    dg = jnp.sum(dy * xhat, axis=0)
+    db = jnp.sum(dy, axis=0)
+    dxhat = dy * g
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - m1 - xhat * m2)
+    return dx, dg, db
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs error 1.5e-7) — Mosaic
+    TPU has no erf lowering; this uses only exp, which it supports. The
+    error is far below bf16 resolution, so the kernel still matches
+    nn.gelu(approximate=False) to test tolerance."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu_exact(h):
+    return 0.5 * h * (1.0 + _erf(h / _SQRT_2))
+
+
+def _gelu_grad(h):
+    cdf = 0.5 * (1.0 + _erf(h / _SQRT_2))
+    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * h * h)
+    return cdf + h * pdf
+
+
+def _mm_dtype(x_dtype) -> jnp.dtype:
+    """Matmul operand dtype: bf16 models keep bf16 MXU operands (matching
+    the XLA path's bf16 Dense semantics); f32 models stay f32 so the fused
+    path agrees with the unfused oracle to tight tolerance."""
+    return jnp.bfloat16 if x_dtype == jnp.bfloat16 else jnp.float32
+
+
+def _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt):
+    """qkv [N, 3C] f32 -> merged-head attention output [N, C] f32, plus the
+    per-head probability list for reuse in the backward pass."""
+    n, c3 = qkv.shape
+    c = c3 // 3
+    d = c // n_heads
+    outs, probs = [], []
+    for h in range(n_heads):
+        q = qkv[:, h * d:(h + 1) * d].astype(cdt)
+        k = qkv[:, c + h * d:c + (h + 1) * d].astype(cdt)
+        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        s = s + bias_ref[h] + mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(
+            jax.lax.dot_general(
+                p.astype(cdt), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        probs.append(p)
+    return jnp.concatenate(outs, axis=-1), probs
+
+
+# ---------------------------------------------------------------------------
+# fused attention half: LN1 + qkv + window attention + proj
+# ---------------------------------------------------------------------------
+
+def _attn_fwd_kernel(ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                     bias_ref, wproj_ref, bproj_ref, out_ref,
+                     *, scale, n_heads):
+    cdt = _mm_dtype(x_ref.dtype)
+    mask = _mask_from_ids(ids_ref[0, 0])
+    x = x_ref[0].astype(jnp.float32)                       # [N, C]
+    y, _, _ = _ln_fwd(x, lng_ref[0], lnb_ref[0])
+    qkv = jax.lax.dot_general(
+        y.astype(cdt), wqkv_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[0]
+    ao, _ = _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt)
+    out = jax.lax.dot_general(
+        ao.astype(cdt), wproj_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj_ref[0]
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _attn_bwd_kernel(ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                     bias_ref, wproj_ref, bproj_ref, do_ref,
+                     dx_ref, dlng_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
+                     dbias_ref, dwproj_ref, dbproj_ref,
+                     *, scale, n_heads):
+    first = pl.program_id(0) == 0
+    n, c = x_ref.shape[1], x_ref.shape[2]
+    d = c // n_heads
+    mask = _mask_from_ids(ids_ref[0, 0])
+
+    @pl.when(first)
+    def _():
+        dlng_ref[...] = jnp.zeros_like(dlng_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+        dwproj_ref[...] = jnp.zeros_like(dwproj_ref)
+        dbproj_ref[...] = jnp.zeros_like(dbproj_ref)
+
+    # --- recompute forward ---
+    cdt = _mm_dtype(x_ref.dtype)
+    x = x_ref[0].astype(jnp.float32)
+    lng = lng_ref[0]
+    y, xhat, rstd = _ln_fwd(x, lng, lnb_ref[0])
+    qkv = jax.lax.dot_general(
+        y.astype(cdt), wqkv_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv_ref[0]
+    ao, probs = _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt)
+
+    # --- backward ---
+    do = do_ref[0].astype(jnp.float32)                      # [N, C]
+    dwproj_ref[...] += jax.lax.dot_general(
+        ao.astype(cdt), do.astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbproj_ref[0] += jnp.sum(do, axis=0)
+    dao = jax.lax.dot_general(
+        do.astype(cdt), wproj_ref[...].astype(cdt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
+    for h in range(n_heads):
+        q = qkv[:, h * d:(h + 1) * d].astype(cdt)
+        k = qkv[:, c + h * d:c + (h + 1) * d].astype(cdt)
+        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
+        p = probs[h]
+        doh = dao[:, h * d:(h + 1) * d]
+
+        dv = jax.lax.dot_general(
+            p.astype(cdt), doh.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            doh.astype(cdt), v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        dsb = ds.astype(cdt)
+        dq = jax.lax.dot_general(
+            dsb, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dk = jax.lax.dot_general(
+            dsb, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dbias_ref[h] += ds
+        dqkv_parts_q.append(dq)
+        dqkv_parts_k.append(dk)
+        dqkv_parts_v.append(dv)
+
+    dqkv = jnp.concatenate(
+        dqkv_parts_q + dqkv_parts_k + dqkv_parts_v, axis=-1
+    )                                                        # [N, 3C]
+    dwqkv_ref[...] += jax.lax.dot_general(
+        y.astype(cdt), dqkv.astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dbqkv_ref[0] += jnp.sum(dqkv, axis=0)
+    dy = jax.lax.dot_general(
+        dqkv.astype(cdt), wqkv_ref[...].astype(cdt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx, dg, db = _ln_bwd(dy, lng, xhat, rstd)
+    dlng_ref[0] += dg
+    dlnb_ref[0] += db
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _attn_specs(n, c, n_heads, w):
+    blk = lambda shape: pl.BlockSpec(
+        shape, lambda bi: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    x_spec = pl.BlockSpec((1, n, c), lambda bi: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    ids_spec = pl.BlockSpec((1, 1, n), lambda bi: (bi % w, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return dict(
+        x=x_spec,
+        ids=ids_spec,
+        lnv=blk((1, c)),
+        wqkv=blk((c, 3 * c)),
+        bqkv=blk((1, 3 * c)),
+        bias=blk((n_heads, n, n)),
+        wproj=blk((c, c)),
+        bproj=blk((1, c)),
+    )
+
+
+def _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
+                   scale, n_heads):
+    bw, n, c = x.shape
+    w = ids.shape[0]
+    sp = _attn_specs(n, c, n_heads, w)
+    return pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, scale=scale, n_heads=n_heads),
+        grid=(bw,),
+        in_specs=[sp["ids"], sp["x"], sp["lnv"], sp["lnv"], sp["wqkv"],
+                  sp["bqkv"], sp["bias"], sp["wproj"], sp["bproj"]],
+        out_specs=sp["x"],
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=_CPARAMS,
+        interpret=not _wa._on_tpu(),
+    )(ids.reshape(w, 1, n), x, lng.reshape(1, c), lnb.reshape(1, c),
+      wqkv, bqkv.reshape(1, 3 * c), bias, wproj, bproj.reshape(1, c))
+
+
+def _attn_half_bwd(scale, n_heads, res, do):
+    x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj = res
+    bw, n, c = x.shape
+    w = ids.shape[0]
+    sp = _attn_specs(n, c, n_heads, w)
+    f32 = jnp.float32
+    dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale, n_heads=n_heads),
+        grid=(bw,),
+        in_specs=[sp["ids"], sp["x"], sp["lnv"], sp["lnv"], sp["wqkv"],
+                  sp["bqkv"], sp["bias"], sp["wproj"], sp["bproj"],
+                  sp["x"]],
+        out_specs=(sp["x"], sp["lnv"], sp["lnv"], sp["wqkv"], sp["bqkv"],
+                   sp["bias"], sp["wproj"], sp["bproj"]),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((c, 3 * c), f32),
+            jax.ShapeDtypeStruct((1, 3 * c), f32),
+            jax.ShapeDtypeStruct(bias.shape, f32),
+            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+        ),
+        compiler_params=_CPARAMS,
+        interpret=not _wa._on_tpu(),
+    )(ids.reshape(w, 1, n), x, lng.reshape(1, c), lnb.reshape(1, c),
+      wqkv, bqkv.reshape(1, 3 * c), bias, wproj, bproj.reshape(1, c), do)
+    return (dx, dlng.reshape(c), dlnb.reshape(c), dwqkv,
+            dbqkv.reshape(3 * c), dbias, None, dwproj, dbproj.reshape(c))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_attn_half(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
+                    scale, n_heads):
+    """proj(window_attention(qkv(LN(x)))) fused per window program.
+
+    Args:
+        x: [BW, N, C] raw (pre-norm) window tokens, bf16 or f32.
+        lng, lnb: [C] f32 LayerNorm scale/bias (epsilon 1e-5).
+        wqkv: [C, 3C] f32; bqkv: [3C] f32 (zeros when QKV_BIAS is off).
+        bias: [H, N, N] f32 relative-position bias.
+        ids: [W, N] int32 region ids (program bw uses row bw % W).
+        wproj: [C, C] f32; bproj: [C] f32.
+        scale, n_heads: static.
+    Returns: [BW, N, C] attention-half output (NO residual add) in x.dtype.
+    """
+    return _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
+                          scale, n_heads)
+
+
+def _attn_half_vjp_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
+                       scale, n_heads):
+    out = _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
+                         scale, n_heads)
+    return out, (x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj)
+
+
+fused_attn_half.defvjp(_attn_half_vjp_fwd, _attn_half_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused LN + MLP half on flat token tiles
+# ---------------------------------------------------------------------------
+
+def _mlp_fwd_kernel(x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    out_ref):
+    cdt = _mm_dtype(x_ref.dtype)
+    x = x_ref[...].astype(jnp.float32)                      # [T, C]
+    y, _, _ = _ln_fwd(x, lng_ref[0], lnb_ref[0])
+    h1 = jax.lax.dot_general(
+        y.astype(cdt), w1_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0]
+    h = _gelu_exact(h1)
+    out = jax.lax.dot_general(
+        h.astype(cdt), w2_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[0]
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
+def _mlp_bwd_kernel(x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    do_ref,
+                    dx_ref, dlng_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
+                    db2_ref):
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        dlng_ref[...] = jnp.zeros_like(dlng_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    cdt = _mm_dtype(x_ref.dtype)
+    x = x_ref[...].astype(jnp.float32)
+    lng = lng_ref[0]
+    y, xhat, rstd = _ln_fwd(x, lng, lnb_ref[0])
+    h1 = jax.lax.dot_general(
+        y.astype(cdt), w1_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[0]
+    h = _gelu_exact(h1)
+
+    do = do_ref[...].astype(jnp.float32)
+    dw2_ref[...] += jax.lax.dot_general(
+        h.astype(cdt), do.astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db2_ref[0] += jnp.sum(do, axis=0)
+    dh = jax.lax.dot_general(
+        do.astype(cdt), w2_ref[...].astype(cdt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh1 = dh * _gelu_grad(h1)
+    dw1_ref[...] += jax.lax.dot_general(
+        y.astype(cdt), dh1.astype(cdt), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db1_ref[0] += jnp.sum(dh1, axis=0)
+    dy = jax.lax.dot_general(
+        dh1.astype(cdt), w1_ref[...].astype(cdt), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dx, dg, db = _ln_bwd(dy, lng, xhat, rstd)
+    dlng_ref[0] += dg
+    dlnb_ref[0] += db
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+def mlp_tile_rows(t: int, cap: int = 512) -> int:
+    """Largest multiple of 8 that divides ``t`` and is <= cap (0 if none)."""
+    best = 0
+    for cand in range(8, cap + 1, 8):
+        if t % cand == 0:
+            best = cand
+    return best
+
+
+def _mlp_specs(tile, c, hid):
+    blk = lambda shape: pl.BlockSpec(
+        shape, lambda ti: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    x_spec = pl.BlockSpec((tile, c), lambda ti: (ti, 0),
+                          memory_space=pltpu.VMEM)
+    return dict(
+        x=x_spec, lnv=blk((1, c)), w1=blk((c, hid)), b1=blk((1, hid)),
+        w2=blk((hid, c)), b2=blk((1, c)),
+    )
+
+
+def _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, tile):
+    t, c = x.shape
+    hid = w1.shape[1]
+    sp = _mlp_specs(tile, c, hid)
+    return pl.pallas_call(
+        _mlp_fwd_kernel,
+        grid=(t // tile,),
+        in_specs=[sp["x"], sp["lnv"], sp["lnv"], sp["w1"], sp["b1"],
+                  sp["w2"], sp["b2"]],
+        out_specs=sp["x"],
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=_CPARAMS,
+        interpret=not _wa._on_tpu(),
+    )(x, lng.reshape(1, c), lnb.reshape(1, c), w1, b1.reshape(1, hid),
+      w2, b2.reshape(1, c))
+
+
+def _ln_mlp_bwd(tile, res, do):
+    x, lng, lnb, w1, b1, w2, b2 = res
+    t, c = x.shape
+    hid = w1.shape[1]
+    sp = _mlp_specs(tile, c, hid)
+    f32 = jnp.float32
+    dx, dlng, dlnb, dw1, db1, dw2, db2 = pl.pallas_call(
+        _mlp_bwd_kernel,
+        grid=(t // tile,),
+        in_specs=[sp["x"], sp["lnv"], sp["lnv"], sp["w1"], sp["b1"],
+                  sp["w2"], sp["b2"], sp["x"]],
+        out_specs=(sp["x"], sp["lnv"], sp["lnv"], sp["w1"], sp["b1"],
+                   sp["w2"], sp["b2"]),
+        out_shape=(
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((c, hid), f32),
+            jax.ShapeDtypeStruct((1, hid), f32),
+            jax.ShapeDtypeStruct((hid, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
+        ),
+        compiler_params=_CPARAMS,
+        interpret=not _wa._on_tpu(),
+    )(x, lng.reshape(1, c), lnb.reshape(1, c), w1, b1.reshape(1, hid),
+      w2, b2.reshape(1, c), do)
+    return (dx, dlng.reshape(c), dlnb.reshape(c), dw1, db1.reshape(hid),
+            dw2, db2.reshape(c))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2, tile):
+    """fc2(gelu_exact(fc1(LN(x)))) on flat token tiles.
+
+    Args:
+        x: [T, C] tokens (T divisible by ``tile``), bf16 or f32.
+        lng, lnb: [C] f32 LayerNorm scale/bias.
+        w1: [C, HID]; b1: [HID]; w2: [HID, C]; b2: [C] (f32).
+        tile: static row-tile size (use ``mlp_tile_rows``).
+    Returns: [T, C] MLP-half output (NO residual add) in x.dtype.
+    """
+    return _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, tile)
+
+
+def _ln_mlp_vjp_fwd(x, lng, lnb, w1, b1, w2, b2, tile):
+    return (_ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, tile),
+            (x, lng, lnb, w1, b1, w2, b2))
+
+
+fused_ln_mlp.defvjp(_ln_mlp_vjp_fwd, _ln_mlp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# gating
+# ---------------------------------------------------------------------------
+
+def attn_half_vmem_ok(c: int, n: int, n_heads: int) -> bool:
+    """Conservative VMEM budget for the fused attention-half backward."""
+    weights = 2 * 4 * (c * 3 * c + c * c)          # wqkv/wproj + grads, f32
+    bias = 2 * 4 * n_heads * n * n                 # bias + dbias
+    acts = 10 * 4 * n * 3 * c                      # qkv/dqkv/x/y/do headroom
+    return weights + bias + acts < 80 * 1024 * 1024
+
+
+def ln_mlp_vmem_ok(c: int, hid: int, tile: int) -> bool:
+    weights = 2 * 4 * (2 * c * hid)
+    acts = 8 * 4 * tile * hid
+    return weights + acts < 80 * 1024 * 1024
