@@ -126,8 +126,18 @@ def main():
 
     grad_time("s1_block_sh", AttnBlock(), x1)
 
-    # stages (stage1 has crashed the worker before — keep after micro ops)
-    for i, st in enumerate(STAGES):
+    # PatchMerging alone (stage-1 output shape) — crash suspect
+    class MergeOnly(nn.Module):
+        @nn.compact
+        def __call__(self, xx, deterministic=True):
+            from vsn_tpu.models.swin3d import PatchMerging3D
+            return PatchMerging3D(dtype=DT, name="merge")(xx)
+
+    x1m = jnp.asarray(rng.standard_normal((MICRO, 36, 42, 36, 96)), DT)
+    grad_time("s1_merge", MergeOnly(), x1m, n=8)
+
+    # stages 2-4 first; stage1 has crashed the worker — keep it last
+    for i, st in list(enumerate(STAGES))[1:] + [(0, STAGES[0])]:
         sres, sc, depth, heads, down = st
         x = jnp.asarray(rng.standard_normal((MICRO, *sres, sc)), DT)
         grad_time(f"stage{i + 1}", StageModule(cfg=st), x, n=6)

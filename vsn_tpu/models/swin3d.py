@@ -607,9 +607,15 @@ class PatchMerging3D(nn.Module):
             x = jnp.pad(x, [(0, 0), *pads, (0, 0)])
             d, h, w = x.shape[1:4]
         # 8 parity-offset sub-grids, concatenated channelwise in the
-        # reference's order (x0..x7)
+        # reference's order (x0..x7). Formulated as reshape+transpose plus
+        # tiny last-dim slices instead of strided spatial slices: the
+        # strided form's backward (scatter-add over 8 interleaved views)
+        # generates a kernel that faults the TPU worker at stage-1 shapes
+        # and is slow everywhere; this form is pure relayout.
+        x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # [b,d2,h2,w2, 2,2,2, c]
         parts = [
-            x[:, dz::2, dy::2, dx::2, :]
+            x[:, :, :, :, dz, dy, dx, :]
             for dz, dy, dx in (
                 (0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
                 (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1),
