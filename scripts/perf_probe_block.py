@@ -109,8 +109,10 @@ def main():
                 bias = bt[rel.reshape(-1)].reshape(n, n, 3).transpose(2, 0, 1)
                 wdws = window_partition(xx, WINDOW)
                 ids = jnp.zeros((1, n), jnp.int32)
+                ones = jnp.ones((wdws.shape[0],), jnp.float32)
                 o = fused_attn_half(wdws, lng, lnb, wqkv, bqkv, bias, ids,
-                                    wproj, bproj, (C // 3) ** -0.5, 3)
+                                    wproj, bproj, ones, ones,
+                                    (C // 3) ** -0.5, 3, 1.0)
                 return window_reverse(o, WINDOW, RES)
 
         grad_time("s1_fattn", FAttn(), x1)
@@ -127,8 +129,10 @@ def main():
                 )()
                 t = xx.size // C
                 flat = xx.reshape(t, C)
+                ones = jnp.ones((MICRO,), jnp.float32)
                 return fused_ln_mlp(
-                    flat, lng, lnb, w1, b1, w2, b2, mlp_tile_rows(t)
+                    flat, lng, lnb, w1, b1, w2, b2, ones, ones,
+                    mlp_tile_rows(t // MICRO), 1.0
                 ).reshape(xx.shape)
 
         grad_time("s1_fmlp", FMlp(), x1)

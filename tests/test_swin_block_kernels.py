@@ -56,8 +56,9 @@ def test_fused_attn_half_matches_oracle():
         return r @ wproj + bproj
 
     args = (x, lng, lnb, wqkv, bqkv, bias, wproj, bproj)
+    ones = jnp.ones((bw,), jnp.float32)
     out = fused_attn_half(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
-                          scale, heads)
+                          ones, ones, scale, heads, 0.0)
     ref = oracle(*args)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
@@ -66,7 +67,8 @@ def test_fused_attn_half_matches_oracle():
 
     def f_fused(*a):
         return (fused_attn_half(a[0], a[1], a[2], a[3], a[4], a[5], ids,
-                                a[6], a[7], scale, heads) * ct).sum()
+                                a[6], a[7], ones, ones, scale, heads,
+                                0.0) * ct).sum()
 
     def f_ref(*a):
         return (oracle(a[0], a[1], a[2], a[3], a[4], a[5], a[6], a[7])
@@ -100,7 +102,8 @@ def test_fused_ln_mlp_matches_oracle_multi_tile():
         h = nn.gelu(y @ w1 + b1, approximate=False)
         return h @ w2 + b2
 
-    out = fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2, tile)
+    ones = jnp.ones((4,), jnp.float32)  # 4 "samples" x 256 rows
+    out = fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2, ones, ones, tile, 0.0)
     ref = oracle(x, lng, lnb, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
@@ -108,7 +111,7 @@ def test_fused_ln_mlp_matches_oracle_multi_tile():
     ct = jnp.asarray(rng.standard_normal(ref.shape), jnp.float32)
 
     def f_fused(*a):
-        return (fused_ln_mlp(*a, tile) * ct).sum()
+        return (fused_ln_mlp(*a, ones, ones, tile, 0.0) * ct).sum()
 
     def f_ref(*a):
         return (oracle(*a) * ct).sum()
@@ -209,3 +212,31 @@ def test_fused_block_matches_unfused(shifted):
             np.asarray(leaf), np.asarray(flat_r[path]),
             rtol=1e-3, atol=1e-3, err_msg=str(path),
         )
+
+
+@pytest.mark.parametrize("use_shakedrop", [False, True])
+def test_fused_block_train_mode_gating_parity(use_shakedrop):
+    """Train mode with DropPath/ShakeDrop active: the fused path draws its
+    residual gains through same-named submodules, so gating decisions (and
+    hence outputs) match the unfused path for identical rngs."""
+    dims = (4, 4, 4)
+    c = 8
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4, *dims, c)), jnp.float32)
+    kwargs = dict(
+        num_heads=2, window=(2, 2, 2), shift=(0, 0, 0), mlp_ratio=2.0,
+        drop_path_rate=0.5, use_shakedrop=use_shakedrop, use_pallas=True,
+    )
+    stream = "shakedrop" if use_shakedrop else "dropout"
+    rngs = {stream: jax.random.key(7)}
+
+    blk_unfused = SwinBlock3D(**{**kwargs, "use_pallas": False})
+    variables = blk_unfused.init(jax.random.key(0), x, None, True)
+    out_ref = blk_unfused.apply(variables, x, None, False, rngs=rngs)
+
+    blk_fused = SwinBlock3D(**kwargs)
+    with _ForceTpu():
+        out_fused = blk_fused.apply(variables, x, None, False, rngs=rngs)
+
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-4)

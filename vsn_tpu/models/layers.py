@@ -12,6 +12,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -164,6 +165,69 @@ def shakedrop(
     alpha = jax.random.uniform(k_alpha, (n,), minval=a0, maxval=a1)
     beta = jax.random.uniform(k_beta, (n,), minval=0.0, maxval=1.0)
     return _shakedrop_train(x, gate, alpha, beta)
+
+
+def residual_branch_gains(
+    n: int,
+    drop_path_rate: float,
+    use_shakedrop: bool,
+    alpha_range: tuple[float, float],
+    deterministic: bool,
+    rng: Optional[jax.Array],
+):
+    """Per-sample (forward, backward) branch multipliers equivalent to the
+    ShakeDrop/DropPath wrappers above, for consumption by the fused block
+    kernels (vsn_tpu/ops/swin_block_kernels.py).
+
+    Draw order and shapes match ``shakedrop``/``drop_path`` exactly, so a
+    given rng produces the same gating decisions on both paths.
+    """
+    ones = jnp.ones((n,), jnp.float32)
+    if use_shakedrop and drop_path_rate > 0.0:
+        if deterministic:
+            g = jnp.full((n,), 1.0 - drop_path_rate, jnp.float32)
+            return g, g
+        k_gate, k_alpha, k_beta = jax.random.split(rng, 3)
+        gate = jax.random.bernoulli(k_gate, 1.0 - drop_path_rate, ())
+        a0, a1 = alpha_range
+        alpha = jax.random.uniform(k_alpha, (n,), minval=a0, maxval=a1)
+        beta = jax.random.uniform(k_beta, (n,), minval=0.0, maxval=1.0)
+        return jnp.where(gate, ones, alpha), jnp.where(gate, ones, beta)
+    if drop_path_rate > 0.0 and not deterministic:
+        keep = 1.0 - drop_path_rate
+        mask = jax.random.bernoulli(rng, keep, (n,))
+        g = mask.astype(jnp.float32) / keep
+        return g, g
+    return ones, ones
+
+
+def _gated_residual_value(x, branch, gf, gb, lam):
+    gshape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    return (lam * x.astype(jnp.float32)
+            + gf.reshape(gshape) * branch.astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gated_residual(x, branch, gf, gb, lam):
+    """lam * x + gf[s] * branch with backward dbranch = gb[s] * do —
+    the (gf, gb) gain form of ShakeDrop/DropPath (see
+    residual_branch_gains); gains are constants to the VJP."""
+    return _gated_residual_value(x, branch, gf, gb, lam)
+
+
+def _gated_residual_fwd(x, branch, gf, gb, lam):
+    return _gated_residual_value(x, branch, gf, gb, lam), (gf, gb, x.ndim)
+
+
+def _gated_residual_bwd(lam, res, do):
+    gf, gb, ndim = res
+    gshape = (do.shape[0],) + (1,) * (ndim - 1)
+    return (lam * do,
+            (gb.reshape(gshape) * do.astype(jnp.float32)).astype(do.dtype),
+            jnp.zeros_like(gf), jnp.zeros_like(gb))
+
+
+gated_residual.defvjp(_gated_residual_fwd, _gated_residual_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -204,6 +204,17 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
+class _RngDraw(nn.Module):
+    """Param-less rng draw under a given submodule name, so the fused path
+    consumes rng streams at the same fold paths as the unfused modules."""
+
+    stream: str
+
+    @nn.compact
+    def __call__(self):
+        return self.make_rng(self.stream)
+
+
 class _NormParams(nn.Module):
     """nn.LayerNorm-compatible scale/bias params."""
 
@@ -493,15 +504,16 @@ class SwinBlock3D(nn.Module):
 
     def _fused_ok(self, c: int) -> bool:
         """Static gate for the fully-fused block kernels: pre-norm
-        LayerNorm, zero dropout, VMEM fits, on TPU. The fused path declares
-        a bit-identical param tree, so mixed init/apply environments (e.g.
-        CPU init, TPU apply) interoperate."""
+        LayerNorm, zero dropout, no LayerScale, VMEM fits, on TPU. The
+        fused path declares a bit-identical param tree, so mixed
+        init/apply environments (e.g. CPU init, TPU apply) interoperate."""
         from vsn_tpu.ops.swin_block_kernels import attn_half_vmem_ok
 
         n = self.window[0] * self.window[1] * self.window[2]
         return (
             self.use_pallas
             and not self.post_norm
+            and not self.layer_scale
             and self.norm_layer in (None, False, "nn.LayerNorm", "LayerNorm")
             and self.dropout == 0.0
             and self.attention_dropout == 0.0
@@ -509,10 +521,33 @@ class SwinBlock3D(nn.Module):
             and jax.devices()[0].platform == "tpu"
         )
 
+    def _residual_gains(self, b: int, deterministic: bool, name: str):
+        """Per-sample (gf, gb) for one residual, with the stable-residual
+        branch gain absorbed — mirrors ResidualBranch's wrapper stack. The
+        rng is drawn through a dummy submodule with ResidualBranch's name
+        so the flax rng fold path (and hence every gating decision)
+        matches the unfused path bit-for-bit."""
+        from vsn_tpu.models.layers import residual_branch_gains
+
+        needs_rng = self.drop_path_rate > 0.0 and not deterministic
+        if needs_rng:
+            rng = _RngDraw(
+                stream="shakedrop" if self.use_shakedrop else "dropout",
+                name=name,
+            )()
+        else:
+            rng = None
+        gf, gb = residual_branch_gains(
+            b, self.drop_path_rate, self.use_shakedrop,
+            tuple(self.shakedrop_alpha_range), deterministic, rng,
+        )
+        beta = self.stable_beta if self.enable_stable else 1.0
+        return gf * beta, gb * beta
+
     def _fused_call(self, x, region_ids, deterministic, residual_kw):
-        """Fused-kernel block: LN1+qkv+attention+proj in one Pallas program
-        per window, LN2+MLP on flat token tiles. Residuals (DropPath /
-        ShakeDrop / LayerScale / stable gains) stay in ResidualBranch."""
+        """Fused-kernel block: each half (LN + projections + attention/MLP
+        + residual with DropPath/ShakeDrop/stable gains) is one Pallas
+        kernel; only roll and window partition/reverse remain XLA-side."""
         from vsn_tpu.ops.swin_block_kernels import (
             fused_attn_half,
             fused_ln_mlp,
@@ -522,8 +557,10 @@ class SwinBlock3D(nn.Module):
 
         b, d, h, w, c = x.shape
         n = self.window[0] * self.window[1] * self.window[2]
+        nw = (d // self.window[0]) * (h // self.window[1]) * (w // self.window[2])
         head_dim = c // self.num_heads
         scale = head_dim**-0.5
+        lam = float(self.stable_lam) if self.enable_stable else 1.0
         shifted = any(s > 0 for s in self.shift)
 
         lng1, lnb1 = _NormParams(c, name="norm1")()
@@ -537,6 +574,9 @@ class SwinBlock3D(nn.Module):
         bias = bias_table[rel_idx.reshape(-1)].reshape(n, n, self.num_heads)
         bias = bias.transpose(2, 0, 1)  # [H, N, N]
 
+        # Residual add commutes with roll and window partition (both are
+        # permutations), so the kernel adds its own rolled/partitioned
+        # input as the shortcut and we invert the permutation after.
         h_in = x
         if shifted:
             h_in = jnp.roll(
@@ -548,16 +588,16 @@ class SwinBlock3D(nn.Module):
             ids = jnp.zeros((1, n), jnp.int32)
         else:
             ids = region_ids.astype(jnp.int32)
-        attn_windows = fused_attn_half(
+        gf1, gb1 = self._residual_gains(b, deterministic, "res1")
+        out_windows = fused_attn_half(
             windows, lng1, lnb1, wqkv, bqkv, bias, ids, wproj, bproj,
-            scale, self.num_heads,
+            jnp.repeat(gf1, nw), jnp.repeat(gb1, nw),
+            scale, self.num_heads, lam,
         )
-        attn_out = window_reverse(attn_windows, self.window, (d, h, w))
+        x = window_reverse(out_windows, self.window, (d, h, w))
         if shifted:
-            attn_out = jnp.roll(attn_out, shift=self.shift, axis=(1, 2, 3))
-        x = ResidualBranch(**residual_kw, name="res1")(
-            x, attn_out.astype(self.dtype), deterministic
-        )
+            x = jnp.roll(x, shift=self.shift, axis=(1, 2, 3))
+        x = x.astype(self.dtype)
 
         hidden = int(c * self.mlp_ratio)
         mlp_init = (
@@ -569,13 +609,14 @@ class SwinBlock3D(nn.Module):
         w1, b1, w2, b2 = _MlpParams(
             dim=c, hidden=hidden, kernel_init=mlp_init, name="mlp"
         )()
+        gf2, gb2 = self._residual_gains(b, deterministic, "res2")
         t = b * d * h * w
-        tile = mlp_tile_rows(t)
+        tile = mlp_tile_rows(t // b)
         if tile and ln_mlp_vmem_ok(c, hidden, tile):
             flat = x.reshape(t, c)
-            mlp_out = fused_ln_mlp(
-                flat, lng2, lnb2, w1, b1, w2, b2, tile
-            ).reshape(x.shape)
+            x = fused_ln_mlp(
+                flat, lng2, lnb2, w1, b1, w2, b2, gf2, gb2, tile, lam
+            ).reshape(x.shape).astype(self.dtype)
         else:
             # fused MLP kernel not applicable; same math via XLA on the
             # declared params
@@ -586,9 +627,9 @@ class SwinBlock3D(nn.Module):
                 jnp.dot(hact.astype(self.dtype), w2.astype(self.dtype))
                 + b2.astype(self.dtype)
             )
-        x = ResidualBranch(**residual_kw, name="res2")(
-            x, mlp_out.astype(self.dtype), deterministic
-        )
+            from vsn_tpu.models.layers import gated_residual
+
+            x = gated_residual(x, mlp_out.reshape(x.shape), gf2, gb2, lam)
         return x
 
 

@@ -3,34 +3,44 @@
 Motivation (measured at micro 8, stage-1 Swin-T shapes, fwd+bwd): the
 attention half-block costs 23.3 ms of which only ~10.7 ms is the v2
 attention kernel — the rest is LN (5.2 ms), the qkv round trip (252 MB
-HBM), and proj traffic; the LN+MLP half costs another 13.4 ms. Every
-elementwise/relayout pass over the [B, 36, 42, 36, 96] bf16 feature map
-runs at ~15% of HBM bandwidth because the (W=36, C=96) trailing dims pad
-to (48, 128) bf16 tiles. In the partitioned [BW, N=252, C] window layout
-the padding waste is 1.6%, so the fix is to do *everything* there:
+HBM), and proj traffic; the LN+MLP half costs another 13.4 ms, and each
+residual-branch elementwise pass ~2-4 ms. Every elementwise/relayout pass
+over the [B, 36, 42, 36, 96] bf16 feature map runs at ~15% of HBM
+bandwidth because the (W=36, C=96) trailing dims pad to (48, 128) bf16
+tiles. In the partitioned [BW, N=252, C] window layout the padding waste
+is 1.6%, so the fix is to do *everything* there:
 
   * ``fused_attn_half``: LN1 -> qkv projection -> per-head
     softmax(q k^T * scale + rel-pos bias + region mask) v -> merged-head
-    proj, one VMEM program per window. HBM traffic per block drops from
-    ~840 MB to ~170 MB (read x windows, write out windows).
-  * ``fused_ln_mlp``: LN2 -> fc1 -> exact GELU -> fc2 on flat token tiles
-    [T, C] (MLP needs no spatial structure).
+    proj -> residual ``lam * x + gf[s] * branch``, one VMEM program per
+    window.
+  * ``fused_ln_mlp``: LN2 -> fc1 -> exact GELU -> fc2 -> the same
+    residual, on flat token tiles [T, C] (MLP needs no spatial
+    structure).
 
-Both carry full custom VJPs: parameter gradients (LN scale/bias, qkv/proj
-and fc1/fc2 weights+biases, relative-position bias) are accumulated into
-revisited output blocks across the sequential TPU grid — the standard
-Pallas revisiting-output pattern. Matmul operands are cast to bf16 (f32
-accumulation), matching the XLA path's bf16 Dense semantics; softmax and
-LN statistics stay f32.
+The residual gains (gf forward, gb backward) are per-SAMPLE scalars fed
+through SMEM: DropPath is gf = gb = mask/keep, ShakeDrop is
+gf = gate?1:alpha, gb = gate?1:beta (the asymmetric custom-VJP semantics
+of regularization/shakedrop.py:10-94), DeepScaleLM stable residuals set
+lam/absorb beta into the gains. The backward pass applies
+``dbranch = gb * do`` before the chain and returns
+``dx = lam * do + chain(gb * do)``.
 
-Residual adds, DropPath/ShakeDrop/LayerScale/stable-gain logic stay
-outside in ``ResidualBranch`` (cheap elementwise, and ShakeDrop has its
-own custom VJP). Kernels are only used when dropout rates are 0 and the
-norm is pre-norm LayerNorm (the reference defaults,
+Both kernels carry full custom VJPs: parameter gradients (LN scale/bias,
+qkv/proj and fc1/fc2 weights+biases, relative-position bias) are
+accumulated into revisited output blocks across the sequential TPU grid —
+the standard Pallas revisiting-output pattern. Matmul operand dtype
+follows the input (bf16 models keep bf16 MXU operands, matching the XLA
+path's bf16 Dense semantics; f32 stays f32 so the fused path agrees with
+the unfused oracle to tight tolerance); softmax and LN statistics stay
+f32.
+
+Kernels are only used when dropout rates are 0, the norm is pre-norm
+LayerNorm, and LayerScale is off (the reference defaults,
 config-defaults.yaml:39-58); other configs use the unfused path.
 
 Reference semantics: models/swin_transformer_3d.py:106-199 (attention),
-52-69 (MLP), 202-382 (block wiring).
+52-69 (MLP), 202-382 (block wiring incl. residual order).
 """
 
 from __future__ import annotations
@@ -104,9 +114,6 @@ def _gelu_grad(h):
 
 
 def _mm_dtype(x_dtype) -> jnp.dtype:
-    """Matmul operand dtype: bf16 models keep bf16 MXU operands (matching
-    the XLA path's bf16 Dense semantics); f32 models stay f32 so the fused
-    path agrees with the unfused oracle to tight tolerance."""
     return jnp.bfloat16 if x_dtype == jnp.bfloat16 else jnp.float32
 
 
@@ -139,13 +146,14 @@ def _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt):
 
 
 # ---------------------------------------------------------------------------
-# fused attention half: LN1 + qkv + window attention + proj
+# fused attention half: LN1 + qkv + window attention + proj + residual
 # ---------------------------------------------------------------------------
 
-def _attn_fwd_kernel(ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                     bias_ref, wproj_ref, bproj_ref, out_ref,
-                     *, scale, n_heads):
+def _attn_fwd_kernel(gf_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
+                     bqkv_ref, bias_ref, wproj_ref, bproj_ref, out_ref,
+                     *, scale, n_heads, lam):
     cdt = _mm_dtype(x_ref.dtype)
+    gf = gf_ref[pl.program_id(0), 0]
     mask = _mask_from_ids(ids_ref[0, 0])
     x = x_ref[0].astype(jnp.float32)                       # [N, C]
     y, _, _ = _ln_fwd(x, lng_ref[0], lnb_ref[0])
@@ -154,18 +162,19 @@ def _attn_fwd_kernel(ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref,
         preferred_element_type=jnp.float32,
     ) + bqkv_ref[0]
     ao, _ = _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt)
-    out = jax.lax.dot_general(
+    branch = jax.lax.dot_general(
         ao.astype(cdt), wproj_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[0]
+    out = lam * x + gf * branch
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-def _attn_bwd_kernel(ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref,
-                     bias_ref, wproj_ref, bproj_ref, do_ref,
+def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
+                     bqkv_ref, bias_ref, wproj_ref, bproj_ref, do_ref,
                      dx_ref, dlng_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
                      dbias_ref, dwproj_ref, dbproj_ref,
-                     *, scale, n_heads):
+                     *, scale, n_heads, lam):
     first = pl.program_id(0) == 0
     n, c = x_ref.shape[1], x_ref.shape[2]
     d = c // n_heads
@@ -193,7 +202,8 @@ def _attn_bwd_kernel(ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref,
     ao, probs = _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt)
 
     # --- backward ---
-    do = do_ref[0].astype(jnp.float32)                      # [N, C]
+    do_res = do_ref[0].astype(jnp.float32)                  # [N, C]
+    do = gb_ref[pl.program_id(0), 0] * do_res               # through gating
     dwproj_ref[...] += jax.lax.dot_general(
         ao.astype(cdt), do.astype(cdt), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -250,10 +260,10 @@ def _attn_bwd_kernel(ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref, bqkv_ref,
     dx, dg, db = _ln_bwd(dy, lng, xhat, rstd)
     dlng_ref[0] += dg
     dlnb_ref[0] += db
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dx_ref[0] = (lam * do_res + dx).astype(dx_ref.dtype)
 
 
-def _attn_specs(n, c, n_heads, w):
+def _attn_specs(n, c, n_heads, w, bw):
     blk = lambda shape: pl.BlockSpec(
         shape, lambda bi: (0,) * len(shape), memory_space=pltpu.VMEM
     )
@@ -261,9 +271,15 @@ def _attn_specs(n, c, n_heads, w):
                           memory_space=pltpu.VMEM)
     ids_spec = pl.BlockSpec((1, 1, n), lambda bi: (bi % w, 0, 0),
                             memory_space=pltpu.VMEM)
+    # Whole gains array in SMEM for every program (a few KB); per-program
+    # indexing happens in-kernel via program_id — per-element blocks would
+    # violate the Mosaic block-shape rule.
+    gain_spec = pl.BlockSpec((bw, 1), lambda bi: (0, 0),
+                             memory_space=pltpu.SMEM)
     return dict(
         x=x_spec,
         ids=ids_spec,
+        gain=gain_spec,
         lnv=blk((1, c)),
         wqkv=blk((c, 3 * c)),
         bqkv=blk((1, 3 * c)),
@@ -274,35 +290,41 @@ def _attn_specs(n, c, n_heads, w):
 
 
 def _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
-                   scale, n_heads):
+                   gf, gb, scale, n_heads, lam):
     bw, n, c = x.shape
     w = ids.shape[0]
-    sp = _attn_specs(n, c, n_heads, w)
+    sp = _attn_specs(n, c, n_heads, w, bw)
     return pl.pallas_call(
-        functools.partial(_attn_fwd_kernel, scale=scale, n_heads=n_heads),
+        functools.partial(
+            _attn_fwd_kernel, scale=scale, n_heads=n_heads, lam=lam
+        ),
         grid=(bw,),
-        in_specs=[sp["ids"], sp["x"], sp["lnv"], sp["lnv"], sp["wqkv"],
-                  sp["bqkv"], sp["bias"], sp["wproj"], sp["bproj"]],
+        in_specs=[sp["gain"], sp["ids"], sp["x"], sp["lnv"], sp["lnv"],
+                  sp["wqkv"], sp["bqkv"], sp["bias"], sp["wproj"],
+                  sp["bproj"]],
         out_specs=sp["x"],
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=_CPARAMS,
         interpret=not _wa._on_tpu(),
-    )(ids.reshape(w, 1, n), x, lng.reshape(1, c), lnb.reshape(1, c),
-      wqkv, bqkv.reshape(1, 3 * c), bias, wproj, bproj.reshape(1, c))
+    )(gf.reshape(bw, 1), ids.reshape(w, 1, n), x, lng.reshape(1, c),
+      lnb.reshape(1, c), wqkv, bqkv.reshape(1, 3 * c), bias, wproj,
+      bproj.reshape(1, c))
 
 
-def _attn_half_bwd(scale, n_heads, res, do):
-    x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj = res
+def _attn_half_bwd(scale, n_heads, lam, res, do):
+    x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj, gf, gb = res
     bw, n, c = x.shape
     w = ids.shape[0]
-    sp = _attn_specs(n, c, n_heads, w)
+    sp = _attn_specs(n, c, n_heads, w, bw)
     f32 = jnp.float32
     dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale, n_heads=n_heads),
+        functools.partial(
+            _attn_bwd_kernel, scale=scale, n_heads=n_heads, lam=lam
+        ),
         grid=(bw,),
-        in_specs=[sp["ids"], sp["x"], sp["lnv"], sp["lnv"], sp["wqkv"],
-                  sp["bqkv"], sp["bias"], sp["wproj"], sp["bproj"],
-                  sp["x"]],
+        in_specs=[sp["gain"], sp["ids"], sp["x"], sp["lnv"], sp["lnv"],
+                  sp["wqkv"], sp["bqkv"], sp["bias"], sp["wproj"],
+                  sp["bproj"], sp["x"]],
         out_specs=(sp["x"], sp["lnv"], sp["lnv"], sp["wqkv"], sp["bqkv"],
                    sp["bias"], sp["wproj"], sp["bproj"]),
         out_shape=(
@@ -317,16 +339,18 @@ def _attn_half_bwd(scale, n_heads, res, do):
         ),
         compiler_params=_CPARAMS,
         interpret=not _wa._on_tpu(),
-    )(ids.reshape(w, 1, n), x, lng.reshape(1, c), lnb.reshape(1, c),
-      wqkv, bqkv.reshape(1, 3 * c), bias, wproj, bproj.reshape(1, c), do)
+    )(gb.reshape(bw, 1), ids.reshape(w, 1, n), x, lng.reshape(1, c),
+      lnb.reshape(1, c), wqkv, bqkv.reshape(1, 3 * c), bias, wproj,
+      bproj.reshape(1, c), do)
     return (dx, dlng.reshape(c), dlnb.reshape(c), dwqkv,
-            dbqkv.reshape(3 * c), dbias, None, dwproj, dbproj.reshape(c))
+            dbqkv.reshape(3 * c), dbias, None, dwproj, dbproj.reshape(c),
+            jnp.zeros_like(gf), jnp.zeros_like(gb))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
 def fused_attn_half(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
-                    scale, n_heads):
-    """proj(window_attention(qkv(LN(x)))) fused per window program.
+                    gf, gb, scale, n_heads, lam):
+    """lam * x + gf[s] * proj(window_attention(qkv(LN(x)))), fused.
 
     Args:
         x: [BW, N, C] raw (pre-norm) window tokens, bf16 or f32.
@@ -335,29 +359,33 @@ def fused_attn_half(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
         bias: [H, N, N] f32 relative-position bias.
         ids: [W, N] int32 region ids (program bw uses row bw % W).
         wproj: [C, C] f32; bproj: [C] f32.
-        scale, n_heads: static.
-    Returns: [BW, N, C] attention-half output (NO residual add) in x.dtype.
+        gf, gb: [BW] f32 per-window forward/backward branch gains
+            (DropPath / ShakeDrop / stable-beta absorbed; RNG-driven,
+            treated as constants by the VJP).
+        scale, n_heads, lam: static (lam = stable residual x-gain, 1.0
+            otherwise; lam = 0.0 yields the bare branch output).
+    Returns: [BW, N, C] in x.dtype.
     """
     return _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
-                          scale, n_heads)
+                          gf, gb, scale, n_heads, lam)
 
 
 def _attn_half_vjp_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
-                       scale, n_heads):
+                       gf, gb, scale, n_heads, lam):
     out = _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
-                         scale, n_heads)
-    return out, (x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj)
+                         gf, gb, scale, n_heads, lam)
+    return out, (x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj, gf, gb)
 
 
 fused_attn_half.defvjp(_attn_half_vjp_fwd, _attn_half_bwd)
 
 
 # ---------------------------------------------------------------------------
-# fused LN + MLP half on flat token tiles
+# fused LN + MLP half + residual on flat token tiles
 # ---------------------------------------------------------------------------
 
-def _mlp_fwd_kernel(x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                    out_ref):
+def _mlp_fwd_kernel(gf_ref, x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                    b2_ref, out_ref, *, lam, tiles_per_sample):
     cdt = _mm_dtype(x_ref.dtype)
     x = x_ref[...].astype(jnp.float32)                      # [T, C]
     y, _, _ = _ln_fwd(x, lng_ref[0], lnb_ref[0])
@@ -366,17 +394,19 @@ def _mlp_fwd_kernel(x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         preferred_element_type=jnp.float32,
     ) + b1_ref[0]
     h = _gelu_exact(h1)
-    out = jax.lax.dot_general(
+    branch = jax.lax.dot_general(
         h.astype(cdt), w2_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b2_ref[0]
+    gf = gf_ref[pl.program_id(0) // tiles_per_sample, 0]
+    out = lam * x + gf * branch
     out_ref[...] = out.astype(out_ref.dtype)
 
 
-def _mlp_bwd_kernel(x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                    do_ref,
+def _mlp_bwd_kernel(gb_ref, x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                    b2_ref, do_ref,
                     dx_ref, dlng_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
-                    db2_ref):
+                    db2_ref, *, lam, tiles_per_sample):
     first = pl.program_id(0) == 0
 
     @pl.when(first)
@@ -398,7 +428,8 @@ def _mlp_bwd_kernel(x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     ) + b1_ref[0]
     h = _gelu_exact(h1)
 
-    do = do_ref[...].astype(jnp.float32)
+    do_res = do_ref[...].astype(jnp.float32)
+    do = gb_ref[pl.program_id(0) // tiles_per_sample, 0] * do_res
     dw2_ref[...] += jax.lax.dot_general(
         h.astype(cdt), do.astype(cdt), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -421,7 +452,7 @@ def _mlp_bwd_kernel(x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     dx, dg, db = _ln_bwd(dy, lng, xhat, rstd)
     dlng_ref[0] += dg
     dlnb_ref[0] += db
-    dx_ref[...] = dx.astype(dx_ref.dtype)
+    dx_ref[...] = (lam * do_res + dx).astype(dx_ref.dtype)
 
 
 def mlp_tile_rows(t: int, cap: int = 512) -> int:
@@ -433,46 +464,54 @@ def mlp_tile_rows(t: int, cap: int = 512) -> int:
     return best
 
 
-def _mlp_specs(tile, c, hid):
+def _mlp_specs(tile, c, hid, nsamp):
     blk = lambda shape: pl.BlockSpec(
         shape, lambda ti: (0,) * len(shape), memory_space=pltpu.VMEM
     )
     x_spec = pl.BlockSpec((tile, c), lambda ti: (ti, 0),
                           memory_space=pltpu.VMEM)
+    gain_spec = pl.BlockSpec((nsamp, 1), lambda ti: (0, 0),
+                             memory_space=pltpu.SMEM)
     return dict(
-        x=x_spec, lnv=blk((1, c)), w1=blk((c, hid)), b1=blk((1, hid)),
-        w2=blk((hid, c)), b2=blk((1, c)),
+        x=x_spec, gain=gain_spec, lnv=blk((1, c)), w1=blk((c, hid)),
+        b1=blk((1, hid)), w2=blk((hid, c)), b2=blk((1, c)),
     )
 
 
-def _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, tile):
+def _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam):
     t, c = x.shape
     hid = w1.shape[1]
-    sp = _mlp_specs(tile, c, hid)
+    nsamp = gf.shape[0]
+    tiles_per_sample = (t // nsamp) // tile
+    sp = _mlp_specs(tile, c, hid, nsamp)
     return pl.pallas_call(
-        _mlp_fwd_kernel,
+        functools.partial(_mlp_fwd_kernel, lam=lam,
+                          tiles_per_sample=tiles_per_sample),
         grid=(t // tile,),
-        in_specs=[sp["x"], sp["lnv"], sp["lnv"], sp["w1"], sp["b1"],
-                  sp["w2"], sp["b2"]],
+        in_specs=[sp["gain"], sp["x"], sp["lnv"], sp["lnv"], sp["w1"],
+                  sp["b1"], sp["w2"], sp["b2"]],
         out_specs=sp["x"],
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=_CPARAMS,
         interpret=not _wa._on_tpu(),
-    )(x, lng.reshape(1, c), lnb.reshape(1, c), w1, b1.reshape(1, hid),
-      w2, b2.reshape(1, c))
+    )(gf.reshape(nsamp, 1), x, lng.reshape(1, c), lnb.reshape(1, c), w1,
+      b1.reshape(1, hid), w2, b2.reshape(1, c))
 
 
-def _ln_mlp_bwd(tile, res, do):
-    x, lng, lnb, w1, b1, w2, b2 = res
+def _ln_mlp_bwd(tile, lam, res, do):
+    x, lng, lnb, w1, b1, w2, b2, gf, gb = res
     t, c = x.shape
     hid = w1.shape[1]
-    sp = _mlp_specs(tile, c, hid)
+    nsamp = gf.shape[0]
+    tiles_per_sample = (t // nsamp) // tile
+    sp = _mlp_specs(tile, c, hid, nsamp)
     f32 = jnp.float32
     dx, dlng, dlnb, dw1, db1, dw2, db2 = pl.pallas_call(
-        _mlp_bwd_kernel,
+        functools.partial(_mlp_bwd_kernel, lam=lam,
+                          tiles_per_sample=tiles_per_sample),
         grid=(t // tile,),
-        in_specs=[sp["x"], sp["lnv"], sp["lnv"], sp["w1"], sp["b1"],
-                  sp["w2"], sp["b2"], sp["x"]],
+        in_specs=[sp["gain"], sp["x"], sp["lnv"], sp["lnv"], sp["w1"],
+                  sp["b1"], sp["w2"], sp["b2"], sp["x"]],
         out_specs=(sp["x"], sp["lnv"], sp["lnv"], sp["w1"], sp["b1"],
                    sp["w2"], sp["b2"]),
         out_shape=(
@@ -486,29 +525,33 @@ def _ln_mlp_bwd(tile, res, do):
         ),
         compiler_params=_CPARAMS,
         interpret=not _wa._on_tpu(),
-    )(x, lng.reshape(1, c), lnb.reshape(1, c), w1, b1.reshape(1, hid),
-      w2, b2.reshape(1, c), do)
+    )(gb.reshape(nsamp, 1), x, lng.reshape(1, c), lnb.reshape(1, c), w1,
+      b1.reshape(1, hid), w2, b2.reshape(1, c), do)
     return (dx, dlng.reshape(c), dlnb.reshape(c), dw1, db1.reshape(hid),
-            dw2, db2.reshape(c))
+            dw2, db2.reshape(c), jnp.zeros_like(gf), jnp.zeros_like(gb))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2, tile):
-    """fc2(gelu_exact(fc1(LN(x)))) on flat token tiles.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam):
+    """lam * x + gf[s] * fc2(gelu_exact(fc1(LN(x)))) on flat token tiles.
 
     Args:
-        x: [T, C] tokens (T divisible by ``tile``), bf16 or f32.
+        x: [T, C] tokens, T divisible by ``tile`` and by len(gf), with
+            tile dividing the per-sample row count (rows are
+            sample-major, so each tile belongs to one sample).
         lng, lnb: [C] f32 LayerNorm scale/bias.
         w1: [C, HID]; b1: [HID]; w2: [HID, C]; b2: [C] (f32).
+        gf, gb: [B] f32 per-sample forward/backward branch gains.
         tile: static row-tile size (use ``mlp_tile_rows``).
-    Returns: [T, C] MLP-half output (NO residual add) in x.dtype.
+        lam: static residual x-gain (0.0 yields the bare branch).
+    Returns: [T, C] in x.dtype.
     """
-    return _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, tile)
+    return _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam)
 
 
-def _ln_mlp_vjp_fwd(x, lng, lnb, w1, b1, w2, b2, tile):
-    return (_ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, tile),
-            (x, lng, lnb, w1, b1, w2, b2))
+def _ln_mlp_vjp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam):
+    return (_ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam),
+            (x, lng, lnb, w1, b1, w2, b2, gf, gb))
 
 
 fused_ln_mlp.defvjp(_ln_mlp_vjp_fwd, _ln_mlp_bwd)
