@@ -38,10 +38,14 @@ def main():
     # North-star config: Swin-T 5c, full stabilization stack. On CPU (dev
     # boxes) shrink shapes so the bench still runs.
     if on_tpu:
+        # micro 32 / accum 4 is the measured optimum (scripts/
+        # perf_probe_step.py sweep: micro 8 36.8, 16 38.2, 32 39.8,
+        # 64 39.3 vol/s) — viable since the fused-kernel VJPs recompute
+        # activations instead of stashing them.
         overrides = dict(
             USE_SAM=True, USE_EMA=True, USE_MIXUP=True, MIXUP_PROB=0.5,
             USE_SHAKEDROP=True, LABEL_SMOOTHING=0.1, SEED=0,
-            BATCH_SIZE=8, EFFECTIVE_BATCH_SIZE=128,
+            BATCH_SIZE=32, EFFECTIVE_BATCH_SIZE=128,
         )
         n_steps = int(os.environ.get("VSN_BENCH_STEPS", 8))
         warmup = int(os.environ.get("VSN_BENCH_WARMUP", 2))

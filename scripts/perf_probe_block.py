@@ -109,7 +109,7 @@ def main():
                 bias = bt[rel.reshape(-1)].reshape(n, n, 3).transpose(2, 0, 1)
                 wdws = window_partition(xx, WINDOW)
                 ids = jnp.zeros((1, n), jnp.int32)
-                ones = jnp.ones((wdws.shape[0],), jnp.float32)
+                ones = jnp.ones((MICRO,), jnp.float32)
                 o = fused_attn_half(wdws, lng, lnb, wqkv, bqkv, bias, ids,
                                     wproj, bproj, ones, ones,
                                     (C // 3) ** -0.5, 3, 1.0)

@@ -42,11 +42,28 @@ CASES = {
         USE_EMA=True, USE_MIXUP=True, MIXUP_PROB=0.5,
         USE_SHAKEDROP=True, LABEL_SMOOTHING=0.1,
     )),
+    # micro 16: earlier design spilled HBM (4.4 vol/s); fused-kernel VJPs
+    # recompute activations, so retry
+    "pallas_m64a2_full": (2, True, True, dict(
+        USE_EMA=True, USE_MIXUP=True, MIXUP_PROB=0.5,
+        USE_SHAKEDROP=True, LABEL_SMOOTHING=0.1, BATCH_SIZE=64,
+        EFFECTIVE_BATCH_SIZE=128,
+    )),
+    "pallas_m32a4_full": (4, True, True, dict(
+        USE_EMA=True, USE_MIXUP=True, MIXUP_PROB=0.5,
+        USE_SHAKEDROP=True, LABEL_SMOOTHING=0.1, BATCH_SIZE=32,
+        EFFECTIVE_BATCH_SIZE=128,
+    )),
+    "pallas_m16a8_full": (8, True, True, dict(
+        USE_EMA=True, USE_MIXUP=True, MIXUP_PROB=0.5,
+        USE_SHAKEDROP=True, LABEL_SMOOTHING=0.1, BATCH_SIZE=16,
+        EFFECTIVE_BATCH_SIZE=128,
+    )),
 }
 
 
 def run_case(name, accum, pallas, sam, extra):
-    micro = 8
+    micro = int(extra.get("BATCH_SIZE", 8))
     overrides = dict(
         SEED=0, USE_SAM=sam, USE_EMA=False, USE_MIXUP=False,
         USE_SHAKEDROP=False, BATCH_SIZE=micro,

@@ -56,7 +56,7 @@ def test_fused_attn_half_matches_oracle():
         return r @ wproj + bproj
 
     args = (x, lng, lnb, wqkv, bqkv, bias, wproj, bproj)
-    ones = jnp.ones((bw,), jnp.float32)
+    ones = jnp.ones((b,), jnp.float32)
     out = fused_attn_half(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
                           ones, ones, scale, heads, 0.0)
     ref = oracle(*args)

@@ -557,7 +557,6 @@ class SwinBlock3D(nn.Module):
 
         b, d, h, w, c = x.shape
         n = self.window[0] * self.window[1] * self.window[2]
-        nw = (d // self.window[0]) * (h // self.window[1]) * (w // self.window[2])
         head_dim = c // self.num_heads
         scale = head_dim**-0.5
         lam = float(self.stable_lam) if self.enable_stable else 1.0
@@ -591,8 +590,7 @@ class SwinBlock3D(nn.Module):
         gf1, gb1 = self._residual_gains(b, deterministic, "res1")
         out_windows = fused_attn_half(
             windows, lng1, lnb1, wqkv, bqkv, bias, ids, wproj, bproj,
-            jnp.repeat(gf1, nw), jnp.repeat(gb1, nw),
-            scale, self.num_heads, lam,
+            gf1, gb1, scale, self.num_heads, lam,
         )
         x = window_reverse(out_windows, self.window, (d, h, w))
         if shifted:

@@ -151,9 +151,9 @@ def _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt):
 
 def _attn_fwd_kernel(gf_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
                      bqkv_ref, bias_ref, wproj_ref, bproj_ref, out_ref,
-                     *, scale, n_heads, lam):
+                     *, scale, n_heads, lam, nw):
     cdt = _mm_dtype(x_ref.dtype)
-    gf = gf_ref[pl.program_id(0), 0]
+    gf = gf_ref[pl.program_id(0) // nw, 0]
     mask = _mask_from_ids(ids_ref[0, 0])
     x = x_ref[0].astype(jnp.float32)                       # [N, C]
     y, _, _ = _ln_fwd(x, lng_ref[0], lnb_ref[0])
@@ -174,7 +174,7 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
                      bqkv_ref, bias_ref, wproj_ref, bproj_ref, do_ref,
                      dx_ref, dlng_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
                      dbias_ref, dwproj_ref, dbproj_ref,
-                     *, scale, n_heads, lam):
+                     *, scale, n_heads, lam, nw):
     first = pl.program_id(0) == 0
     n, c = x_ref.shape[1], x_ref.shape[2]
     d = c // n_heads
@@ -203,7 +203,7 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
 
     # --- backward ---
     do_res = do_ref[0].astype(jnp.float32)                  # [N, C]
-    do = gb_ref[pl.program_id(0), 0] * do_res               # through gating
+    do = gb_ref[pl.program_id(0) // nw, 0] * do_res         # through gating
     dwproj_ref[...] += jax.lax.dot_general(
         ao.astype(cdt), do.astype(cdt), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -263,7 +263,7 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
     dx_ref[0] = (lam * do_res + dx).astype(dx_ref.dtype)
 
 
-def _attn_specs(n, c, n_heads, w, bw):
+def _attn_specs(n, c, n_heads, w, nsamp):
     blk = lambda shape: pl.BlockSpec(
         shape, lambda bi: (0,) * len(shape), memory_space=pltpu.VMEM
     )
@@ -271,10 +271,11 @@ def _attn_specs(n, c, n_heads, w, bw):
                           memory_space=pltpu.VMEM)
     ids_spec = pl.BlockSpec((1, 1, n), lambda bi: (bi % w, 0, 0),
                             memory_space=pltpu.VMEM)
-    # Whole gains array in SMEM for every program (a few KB); per-program
-    # indexing happens in-kernel via program_id — per-element blocks would
-    # violate the Mosaic block-shape rule.
-    gain_spec = pl.BlockSpec((bw, 1), lambda bi: (0, 0),
+    # Whole per-SAMPLE gains array in SMEM for every program; indexed
+    # in-kernel as program_id // nW. SMEM scalars cost ~512 B each, so the
+    # array must stay per-sample (a per-window [BW] array overflows the
+    # 1 MB SMEM at micro-batch 16).
+    gain_spec = pl.BlockSpec((nsamp, 1), lambda bi: (0, 0),
                              memory_space=pltpu.SMEM)
     return dict(
         x=x_spec,
@@ -293,10 +294,12 @@ def _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
                    gf, gb, scale, n_heads, lam):
     bw, n, c = x.shape
     w = ids.shape[0]
-    sp = _attn_specs(n, c, n_heads, w, bw)
+    nsamp = gf.shape[0]
+    sp = _attn_specs(n, c, n_heads, w, nsamp)
     return pl.pallas_call(
         functools.partial(
-            _attn_fwd_kernel, scale=scale, n_heads=n_heads, lam=lam
+            _attn_fwd_kernel, scale=scale, n_heads=n_heads, lam=lam,
+            nw=bw // nsamp,
         ),
         grid=(bw,),
         in_specs=[sp["gain"], sp["ids"], sp["x"], sp["lnv"], sp["lnv"],
@@ -306,7 +309,7 @@ def _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=_CPARAMS,
         interpret=not _wa._on_tpu(),
-    )(gf.reshape(bw, 1), ids.reshape(w, 1, n), x, lng.reshape(1, c),
+    )(gf.reshape(nsamp, 1), ids.reshape(w, 1, n), x, lng.reshape(1, c),
       lnb.reshape(1, c), wqkv, bqkv.reshape(1, 3 * c), bias, wproj,
       bproj.reshape(1, c))
 
@@ -315,11 +318,13 @@ def _attn_half_bwd(scale, n_heads, lam, res, do):
     x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj, gf, gb = res
     bw, n, c = x.shape
     w = ids.shape[0]
-    sp = _attn_specs(n, c, n_heads, w, bw)
+    nsamp = gf.shape[0]
+    sp = _attn_specs(n, c, n_heads, w, nsamp)
     f32 = jnp.float32
     dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj = pl.pallas_call(
         functools.partial(
-            _attn_bwd_kernel, scale=scale, n_heads=n_heads, lam=lam
+            _attn_bwd_kernel, scale=scale, n_heads=n_heads, lam=lam,
+            nw=bw // nsamp,
         ),
         grid=(bw,),
         in_specs=[sp["gain"], sp["ids"], sp["x"], sp["lnv"], sp["lnv"],
@@ -339,7 +344,7 @@ def _attn_half_bwd(scale, n_heads, lam, res, do):
         ),
         compiler_params=_CPARAMS,
         interpret=not _wa._on_tpu(),
-    )(gb.reshape(bw, 1), ids.reshape(w, 1, n), x, lng.reshape(1, c),
+    )(gb.reshape(nsamp, 1), ids.reshape(w, 1, n), x, lng.reshape(1, c),
       lnb.reshape(1, c), wqkv, bqkv.reshape(1, 3 * c), bias, wproj,
       bproj.reshape(1, c), do)
     return (dx, dlng.reshape(c), dlnb.reshape(c), dwqkv,
@@ -359,9 +364,10 @@ def fused_attn_half(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
         bias: [H, N, N] f32 relative-position bias.
         ids: [W, N] int32 region ids (program bw uses row bw % W).
         wproj: [C, C] f32; bproj: [C] f32.
-        gf, gb: [BW] f32 per-window forward/backward branch gains
+        gf, gb: [B] f32 per-SAMPLE forward/backward branch gains
             (DropPath / ShakeDrop / stable-beta absorbed; RNG-driven,
-            treated as constants by the VJP).
+            treated as constants by the VJP); window bw uses entry
+            bw // (BW // B).
         scale, n_heads, lam: static (lam = stable residual x-gain, 1.0
             otherwise; lam = 0.0 yields the bare branch output).
     Returns: [BW, N, C] in x.dtype.
