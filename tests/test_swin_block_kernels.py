@@ -240,3 +240,38 @@ def test_fused_block_train_mode_gating_parity(use_shakedrop):
 
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_block_under_remat():
+    """USE_CHECKPOINT wraps blocks in nn.remat; the fused custom-VJP
+    kernels must survive rematerialization (grad through remat(block))."""
+    from vsn_tpu.models.swin3d import BasicLayer3D
+
+    dims = (4, 4, 4)
+    c = 8
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, *dims, c)), jnp.float32)
+
+    def build(use_checkpoint, use_pallas):
+        return BasicLayer3D(
+            depth=2, num_heads=2, window=(2, 2, 2),
+            drop_path_rates=[0.0, 0.0], downsample=False,
+            use_checkpoint=use_checkpoint, use_pallas=use_pallas,
+        )
+
+    layer_ref = build(False, False)
+    variables = layer_ref.init(jax.random.key(0), x, True)
+    out_ref = layer_ref.apply(variables, x, True)
+
+    with _ForceTpu():
+        layer = build(True, True)
+        out = layer.apply(variables, x, True)
+
+        def loss(p):
+            return layer.apply({"params": p}, x, True).sum()
+
+        g = jax.grad(loss)(variables["params"])
+        assert all(np.all(np.isfinite(l)) for l in jax.tree.leaves(g))
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-4)
