@@ -238,3 +238,68 @@ def test_make_calibrator():
     assert isinstance(make_calibrator("isotonic"), IsotonicCalibration)
     with pytest.raises(KeyError):
         make_calibrator("nope")
+
+
+# ---------------------------------------------------------------------------
+# vectorized engine vs per-iteration oracle
+# ---------------------------------------------------------------------------
+
+def _engine_pair(gt, probs, **kw):
+    a = B.compute_bootstrap_metrics(gt, probs, engine="vectorized", **kw)
+    b = B.compute_bootstrap_metrics(gt, probs, engine="loop", **kw)
+    return a, b
+
+
+def _assert_engines_match(a, b):
+    assert set(a) == set(b)
+    for key in a:
+        if isinstance(a[key], dict) and "samples" not in a[key]:
+            for c in a[key]:
+                np.testing.assert_allclose(
+                    a[key][c]["samples"], b[key][c]["samples"],
+                    rtol=1e-8, atol=1e-10, err_msg=f"{key}[{c}]",
+                )
+        else:
+            np.testing.assert_allclose(
+                a[key]["samples"], b[key]["samples"],
+                rtol=1e-8, atol=1e-10, err_msg=key,
+            )
+
+
+def test_vectorized_matches_loop_engine(preds):
+    gt, probs, _ = preds
+    a, b = _engine_pair(gt, probs, n_bootstrap=100, top_n=[2],
+                        random_state=3, chunk_size=32)
+    _assert_engines_match(a, b)
+
+
+def test_vectorized_matches_loop_with_ties_and_rare_class():
+    """Score ties (duplicated rows) and a near-absent class exercise the
+    grouped rank-AUC path and the NaN-class exclusion identically."""
+    rng = np.random.default_rng(1)
+    k, n = 4, 90
+    gt = np.concatenate([rng.integers(0, k - 1, n - 2), [k - 1, k - 1]])
+    logits = rng.standard_normal((n, k))
+    logits[: n // 2] = logits[:1]  # heavy ties
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    a, b = _engine_pair(gt, probs, n_bootstrap=60, top_n=2, random_state=11)
+    _assert_engines_match(a, b)
+
+
+def test_vectorized_bootstrap_speed():
+    """VERDICT round 1 item 6: 10k x 5-class x 2400 subjects in seconds.
+
+    The CI asserts a generous bound at reduced scale on this 1-vCPU host;
+    the full-scale number is recorded in BASELINE.md.
+    """
+    import time
+
+    rng = np.random.default_rng(0)
+    k, n = 5, 2400
+    gt = rng.integers(0, k, n)
+    logits = rng.standard_normal((n, k)) + 1.5 * np.eye(k)[gt]
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    t0 = time.perf_counter()
+    B.compute_bootstrap_metrics(gt, probs, n_bootstrap=2000, top_n=2)
+    dt = time.perf_counter() - t0
+    assert dt < 20.0, f"2k resamples took {dt:.1f}s"
