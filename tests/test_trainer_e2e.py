@@ -142,3 +142,27 @@ def test_cli_smoke(synth, tmp_path, capsys):
     assert summary["steps"] == 6
     assert summary["fold"] == 1
     assert (tmp_path / "runs" / "summary_cli00001_1.json").exists()
+
+
+def test_profile_dir_produces_trace_and_step_times(synth, tmp_path):
+    """VERDICT round-1 item 8: profile_dir wiring must actually exist."""
+    root, csvs = synth
+    cfg = tiny_cfg(STEPS=8, VALIDATION_FREQUENCY=8)
+    prof = tmp_path / "prof"
+    summary = train_fold(
+        cfg, csv_dir=str(csvs), save_dir=tmp_path / "runs",
+        cache_dir=tmp_path / "cache", run_id="profrun1",
+        profile_dir=str(prof), profile_steps=3,
+    )
+    assert summary["steps"] == 8
+    # a trace directory with at least one event file was produced
+    traced = list(prof.rglob("*"))
+    assert any(p.is_file() for p in traced), traced
+    # step-time percentiles land in the metrics.jsonl summary row
+    run_dir = Path(summary["run_dir"])
+    lines = [json.loads(l) for l in open(run_dir / "metrics.jsonl")]
+    summary_rows = [l for l in lines if l.get("kind") == "summary" or "step_time" in str(l)]
+    assert summary_rows, lines
+    st = next(l for l in lines if "step_time" in json.dumps(l))
+    flat = json.dumps(st)
+    assert "p50_s" in flat and "p90_s" in flat

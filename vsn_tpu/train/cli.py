@@ -35,6 +35,10 @@ def get_args(argv=None):
     p.add_argument("--checkpoint", default=None, help="resume checkpoint")
     p.add_argument("--max-steps", type=int, default=None,
                    help="cap steps (smoke tests)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of a few steps here")
+    p.add_argument("--profile-steps", type=int, default=5,
+                   help="trace window length when --profile-dir is set")
     return p.parse_args(argv)
 
 
@@ -52,6 +56,8 @@ def main(argv=None):
         run_id=args.runname or new_run_id(),
         resume_from=args.checkpoint,
         max_steps=args.max_steps,
+        profile_dir=args.profile_dir,
+        profile_steps=args.profile_steps,
     )
     out = Path(args.save_dir) / f"summary_{summary['run_id']}_{summary['fold']}.json"
     with open(out, "w") as f:

@@ -126,8 +126,16 @@ def train_fold(
     resume_from: str | None = None,
     mesh=None,
     max_steps: int | None = None,
+    profile_dir: str | None = None,
+    profile_steps: int = 5,
 ) -> dict:
-    """Train one fold; returns a summary dict (history, best metric, paths)."""
+    """Train one fold; returns a summary dict (history, best metric, paths).
+
+    With ``profile_dir`` set, a jax.profiler device trace is captured for
+    ``profile_steps`` steps (after a 2-step warmup); step-time percentiles
+    are always recorded into the metrics.jsonl summary (see
+    vsn_tpu/utils/profiling.py for the dispatch-time caveat).
+    """
     t_start = time.time()
     run_id = run_id or new_run_id()
     fold = int(cfg.FOLD)
@@ -280,10 +288,20 @@ def train_fold(
         pipe, min(2, int(cfg.PREFETCH_FACTOR)),
         device_put=lambda b: meshlib.shard_train_batch(b, mesh),
     )
+    from vsn_tpu.utils import profiling
+
+    timer = profiling.StepTimer()
+    tracer = profiling.StepTrace(profile_dir, start=2, n_steps=profile_steps)
+    loop_i = 0
     for batch in batches:
         if step >= total_steps or stopped_early:
             break
+        tracer.before_step(loop_i)
+        timer.start()
         state, train_m = train_step(state, batch, train_key, resident_train)
+        timer.stop()
+        tracer.after_step(loop_i)
+        loop_i += 1
         step = int(state.step)
 
         if step % val_freq == 0 or step == total_steps:
@@ -365,9 +383,11 @@ def train_fold(
             checkpoint_payload(), checkpoint_meta(step),
         )
 
+    tracer.close()
     tracker.set_summary(
         steps=step, stopped_early=stopped_early, skipped=int(state.skipped),
         best_metric=best_tracker.best[0] if best_tracker.best else None,
+        step_time=timer.summary(skip_warmup=2),
     )
     tracker.finish()
     saver.close()

@@ -2,7 +2,15 @@
 
 The reference ships none (SURVEY.md §5 — a gap, not parity): this module adds
 ``jax.profiler`` trace capture plus a lightweight step timer with percentile
-summaries, wired into the trainer via ``profile_dir``.
+summaries. The trainer wires both: ``train_fold(..., profile_dir=...)`` (CLI
+``--profile-dir``) captures a device trace for a window of steps via
+``StepTrace``, and a ``StepTimer`` always records per-step host dispatch
+times, with percentiles emitted into the run's ``metrics.jsonl`` summary.
+
+Dispatch-time caveat: the train step is dispatched asynchronously, so an
+individual step's wall time measures host work until backpressure; once the
+device queue is full (a few steps in), per-step dispatch time converges to
+device step time, which is what the percentiles summarize (warmup skipped).
 """
 
 from __future__ import annotations
@@ -28,6 +36,37 @@ def trace(profile_dir, enabled: bool = True):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class StepTrace:
+    """Capture a jax.profiler trace for steps [start, start + n_steps).
+
+    Call ``before_step(i)`` / ``after_step(i)`` around each training step
+    with the 0-based loop index; trace start/stop happen at the window
+    edges. No-op when ``profile_dir`` is None.
+    """
+
+    def __init__(self, profile_dir, start: int = 2, n_steps: int = 5):
+        self.dir = str(profile_dir) if profile_dir else None
+        self.start = int(start)
+        self.stop_at = int(start) + int(n_steps)
+        self._active = False
+
+    def before_step(self, i: int):
+        if self.dir and not self._active and i == self.start:
+            Path(self.dir).mkdir(parents=True, exist_ok=True)
+            jax.profiler.start_trace(self.dir)
+            self._active = True
+
+    def after_step(self, i: int):
+        if self._active and i + 1 >= self.stop_at:
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def close(self):
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
 
 
 class StepTimer:

@@ -57,6 +57,13 @@ class Tracker:
                 self._wb.summary[k] = v
 
     def finish(self):
+        if self.summary:
+            # final summary also rides in the metric stream so a single
+            # JSONL read gives the whole run (incl. step_time percentiles)
+            self._f.write(
+                json.dumps({"kind": "summary", **self.summary}, default=float)
+                + "\n"
+            )
         self._f.close()
         if self._wb is not None:  # pragma: no cover
             self._wb.finish()
