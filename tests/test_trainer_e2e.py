@@ -79,8 +79,10 @@ def test_train_fold_end_to_end(synth, tmp_path):
     run_dir = Path(summary["run_dir"])
     assert (run_dir / "config.yaml").exists()
     lines = [json.loads(l) for l in open(run_dir / "metrics.jsonl")]
-    assert lines[-1]["step"] == 24
-    assert "val_bacc" in lines[-1]
+    rows = [l for l in lines if l.get("kind") != "summary"]
+    assert rows[-1]["step"] == 24
+    assert "val_bacc" in rows[-1]
+    assert lines[-1].get("kind") == "summary" and "step_time" in lines[-1]
 
 
 def test_resume_from_checkpoint(synth, tmp_path):

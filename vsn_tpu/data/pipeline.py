@@ -105,14 +105,30 @@ class TrainPipeline:
         seed: int | None = None,
         drop_last: bool = True,
         index_mode: bool = False,
+        rank: int = 0,
+        world_size: int = 1,
     ):
         self.ds = dataset
         self.cfg = cfg
         self.index_mode = bool(index_mode)
         self.grad_accum = int(grad_accum)
-        self.micro_batch = int(micro_batch)
+        self.micro_batch = int(micro_batch)  # GLOBAL micro-batch rows
         self.per_step = self.grad_accum * self.micro_batch
         self.seed = seed
+        # Multi-host: every host draws the identical global epoch stream and
+        # mix plan (seed must be shared — dist.broadcast_seed), then emits
+        # only its contiguous block of each micro-batch, matching the rows
+        # its devices own under the axis-1 'data' sharding (reference
+        # analogue: per-rank DistributedWeightedSampler partitions,
+        # utils/balanced_sampler.py:126-364).
+        self.rank = int(rank)
+        self.world_size = int(world_size)
+        if self.micro_batch % self.world_size:
+            raise ValueError(
+                f"global micro-batch {self.micro_batch} not divisible by "
+                f"world size {self.world_size}"
+            )
+        self.local_rows = self.micro_batch // self.world_size
         self.balanced = bool(cfg.get("USE_BALANCED_SAMPLER", False))
         self.planner = MixPlanner(
             dataset.labels_str, dataset.diseases, cfg, dataset.spatial_shape,
@@ -158,29 +174,42 @@ class TrainPipeline:
         sl = slice(self._pos, self._pos + self.per_step)
         self._pos += self.per_step
 
-        idx = self._epoch_indices[sl]
         a, b = self.grad_accum, self.micro_batch
-        batch = {"label": self.ds.labels[idx].reshape(a, b, -1)}
+        # local block of each global micro-batch: rows
+        # [rank*local : (rank+1)*local] of every accumulation slice
+        lo, hi = self.rank * self.local_rows, (self.rank + 1) * self.local_rows
+        bl = self.local_rows
+
+        def local(v):
+            return v.reshape(a, b, *v.shape[1:])[:, lo:hi]
+
+        idx = local(self._epoch_indices[sl]).reshape(-1)
+        batch = {"label": self.ds.labels[idx].reshape(a, bl, -1)}
         if self.index_mode:
             # device-resident mode: ship int32 indices; the train step
             # gathers volumes from the HBM-resident cache (data/resident.py)
-            batch["image_idx"] = idx.astype(np.int32).reshape(a, b)
+            batch["image_idx"] = idx.astype(np.int32).reshape(a, bl)
         else:
             batch["image"] = self.ds.gather(idx).reshape(
-                a, b, *self.ds.spatial_shape, 1
+                a, bl, *self.ds.spatial_shape, 1
             )
         if self.planner.mode is not None:
-            plan = {k: v[sl] for k, v in self._epoch_plan.items()}
+
+            def local_flat(v):
+                lv = local(v[sl])
+                return lv.reshape(a * bl, *lv.shape[2:])
+
+            plan = {k: local_flat(v) for k, v in self._epoch_plan.items()}
             if self.index_mode:
-                batch["partner_idx"] = plan["partner"].astype(np.int32).reshape(a, b)
+                batch["partner_idx"] = plan["partner"].astype(np.int32).reshape(a, bl)
             else:
                 batch["image2"] = self.ds.gather(plan["partner"]).reshape(
-                    a, b, *self.ds.spatial_shape, 1
+                    a, bl, *self.ds.spatial_shape, 1
                 )
-            batch["label2"] = self.ds.labels[plan["partner"]].reshape(a, b, -1)
-            batch["mix_lam"] = plan["mix_lam"].reshape(a, b)
-            batch["mix_apply"] = plan["mix_apply"].reshape(a, b)
-            batch["mix_bounds"] = plan["mix_bounds"].reshape(a, b, 6)
+            batch["label2"] = self.ds.labels[plan["partner"]].reshape(a, bl, -1)
+            batch["mix_lam"] = plan["mix_lam"].reshape(a, bl)
+            batch["mix_apply"] = plan["mix_apply"].reshape(a, bl)
+            batch["mix_bounds"] = plan["mix_bounds"].reshape(a, bl, 6)
         return batch
 
 
@@ -193,23 +222,42 @@ class EvalPipeline:
     pad/trim, train_transformer.py:550-568).
     """
 
-    def __init__(self, dataset: InMemoryDataset, batch_size: int):
+    def __init__(self, dataset: InMemoryDataset, batch_size: int,
+                 rank: int = 0, world_size: int = 1):
         self.ds = dataset
-        self.batch_size = int(batch_size)
+        self.batch_size = int(batch_size)  # GLOBAL batch rows
+        self.rank = int(rank)
+        self.world_size = int(world_size)
+        if self.batch_size % self.world_size:
+            raise ValueError("eval batch size must divide by world size")
 
     def iter_with_indices(self, load_images: bool = True):
-        """Yields (images|None, labels, valid, padded_indices). Device-
-        resident eval sets load_images=False and gathers by index in HBM."""
+        """Yields (local_images|None, labels, valid, padded_indices).
+
+        ``labels``/``valid``/``padded_indices`` are always GLOBAL (they are
+        tiny); images (or the resident-gather indices derived from
+        ``padded_indices``) are materialized only for this host's block of
+        each batch — multi-host eval feeds through
+        jax.make_array_from_process_local_data (mesh.shard_eval_batch) and
+        reads predictions back via dist.fetch_global.
+        """
         n = len(self.ds)
         b = self.batch_size
+        bl = b // self.world_size
+        lo, hi = self.rank * bl, (self.rank + 1) * bl
         for start in range(0, n, b):
             idx = np.arange(start, min(start + b, n))
             valid = np.zeros(b, bool)
             valid[: len(idx)] = True
             pad = np.concatenate([idx, np.zeros(b - len(idx), np.int64)])
-            images = self.ds.gather(pad) if load_images else None
+            images = self.ds.gather(pad[lo:hi]) if load_images else None
             labels = self.ds.labels[pad]
             yield images, labels, valid, pad
+
+    def local_slice(self, pad: np.ndarray) -> np.ndarray:
+        """This host's block of a global padded index batch."""
+        bl = self.batch_size // self.world_size
+        return pad[self.rank * bl:(self.rank + 1) * bl]
 
     def __iter__(self):
         for images, labels, valid, _ in self.iter_with_indices():

@@ -81,3 +81,46 @@ def process_allgather(x):
     from jax.experimental import multihost_utils  # pragma: no cover
 
     return multihost_utils.process_allgather(x)
+
+
+def broadcast_seed(seed):
+    """Agree on one sampler seed across processes.
+
+    The reference broadcasts the random sampler seed from rank 0
+    (train_transformer.py:1852-1855); here an unseeded run draws rank 0's
+    entropy and shares it so every host samples the same global epoch
+    stream. Explicit seeds pass through unchanged.
+    """
+    if jax.process_count() == 1:
+        return seed
+    import numpy as np  # pragma: no cover — needs a real pod
+    from jax.experimental import multihost_utils
+
+    local = np.asarray(
+        [seed if seed is not None
+         else np.random.SeedSequence().generate_state(1)[0] % (2**31)],
+        np.int64,
+    )
+    return int(multihost_utils.broadcast_one_to_all(local)[0])
+
+
+def fetch_global(x):
+    """Device array -> host numpy, across hosts if needed.
+
+    Single-process (or fully-addressable) arrays fetch directly. On a pod,
+    each host concatenates its addressable shards (block layout, process-
+    ordered) and allgathers — the fixed-length analogue of the reference's
+    variable-length all_gather with pad/trim (train_transformer.py:550-568;
+    our EvalPipeline pads batches, the valid mask trims).
+    """
+    import numpy as np
+
+    if jax.process_count() == 1 or getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils  # pragma: no cover
+
+    shards = sorted(
+        x.addressable_shards, key=lambda s: s.index[0].start or 0
+    )
+    local = np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(multihost_utils.process_allgather(local, tiled=True))

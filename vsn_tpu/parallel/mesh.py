@@ -35,14 +35,31 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put_sharded(x, sh: NamedSharding, batch_axis: int):
+    """device_put one batch array; multi-process hosts hold only their own
+    block of the global batch and assemble the global array from local data
+    (the jax analogue of DDP's per-rank loaders)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    x = np.asarray(x)  # pragma: no cover — needs a real pod
+    global_shape = list(x.shape)
+    global_shape[batch_axis] *= jax.process_count()
+    return jax.make_array_from_process_local_data(sh, x, tuple(global_shape))
+
+
 def shard_train_batch(batch: dict, mesh: Mesh) -> dict:
-    """device_put a train batch dict with axis-1 sharding on every array."""
+    """device_put a train batch dict with axis-1 sharding on every array.
+
+    Multi-process: each host passes its process-local [A, B_local, ...]
+    block (TrainPipeline(rank, world_size) emits exactly that) and the
+    global [A, B_global, ...] array is assembled across hosts.
+    """
     sh = batch_sharding(mesh, 1)
-    return jax.device_put(batch, jax.tree.map(lambda _: sh, batch))
+    return jax.tree.map(lambda x: _put_sharded(x, sh, 1), batch)
 
 
 def shard_eval_batch(images, mesh: Mesh):
-    return jax.device_put(images, batch_sharding(mesh, 0))
+    return _put_sharded(images, batch_sharding(mesh, 0), 0)
 
 
 def pad_batch_to_multiple(batch_size: int, n_devices: int) -> int:

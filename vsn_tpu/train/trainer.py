@@ -61,9 +61,12 @@ class Validator:
     """
 
     def __init__(self, model, cfg, dataset, mesh, resident=None):
+        from vsn_tpu.parallel import distributed as dist
+
         self.cfg = cfg
         self.pipeline = EvalPipeline(
-            dataset, meshlib.pad_batch_to_multiple(cfg.BATCH_SIZE, mesh.size)
+            dataset, meshlib.pad_batch_to_multiple(cfg.BATCH_SIZE, mesh.size),
+            rank=dist.get_rank(), world_size=dist.get_world_size(),
         )
         self.mesh = mesh
         self.resident = resident
@@ -87,20 +90,23 @@ class Validator:
             self._run_idx = run_idx
 
     def __call__(self, variables) -> tuple[dict, np.ndarray, np.ndarray]:
+        from vsn_tpu.parallel.distributed import fetch_global
+
         probs_all, gt_all = [], []
         for images, labels, valid, idx in self.pipeline.iter_with_indices(
             load_images=self.resident is None
         ):
             if self.resident is not None:
-                idx = meshlib.shard_eval_batch(
-                    jnp.asarray(idx, jnp.int32), self.mesh
+                local_idx = self.pipeline.local_slice(idx).astype(np.int32)
+                sharded = meshlib.shard_eval_batch(local_idx, self.mesh)
+                probs = fetch_global(
+                    self._run_idx(variables, sharded, self.resident)
                 )
-                probs = np.asarray(self._run_idx(variables, idx, self.resident))
             else:
                 images = meshlib.shard_eval_batch(
-                    jnp.asarray(images), self.mesh
+                    np.asarray(images), self.mesh
                 )
-                probs = np.asarray(self._run(variables, images))
+                probs = fetch_global(self._run(variables, images))
             probs_all.append(probs[valid])
             gt_all.append(labels[valid])
         probs = np.concatenate(probs_all)
@@ -150,8 +156,10 @@ def train_fold(
     mesh = mesh or meshlib.make_mesh()
     world = mesh.size
     grad_accum = cfg.gradient_accumulation_steps(world)
-    micro_batch = int(cfg.BATCH_SIZE) * world
-    seed = cfg.seed_or_none
+    micro_batch = int(cfg.BATCH_SIZE) * world  # global rows per micro-step
+    # every host must draw the same sampler stream (reference broadcasts the
+    # sampler seed, train_transformer.py:1852-1855)
+    seed = dist.broadcast_seed(cfg.seed_or_none)
 
     # ----- data ------------------------------------------------------------
     meta_train, meta_val, meta_test, meta_all = get_train_val_test(
@@ -193,6 +201,7 @@ def train_fold(
     pipe = TrainPipeline(
         ds_train, cfg, grad_accum=grad_accum, micro_batch=micro_batch,
         seed=seed, index_mode=resident_train is not None,
+        rank=dist.get_rank(), world_size=dist.get_world_size(),
     )
 
     # ----- model / state ---------------------------------------------------
