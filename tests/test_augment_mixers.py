@@ -220,3 +220,51 @@ def test_affine_warp_matmul_matches_map_coordinates():
         vols, jnp.zeros((B, 3)), jnp.ones((B, 3)), tr
     )
     np.testing.assert_allclose(np.asarray(got_t), np.asarray(ref_t), atol=1e-5)
+
+
+def test_separable_warp_close_to_joint_trilinear():
+    """Bound the documented deviation: the separable per-axis warp must stay
+    close to joint trilinear resampling (scipy map_coordinates) on the
+    smooth, small-amplitude fields random_elastic draws."""
+    from scipy.ndimage import map_coordinates
+
+    from vsn_tpu.data.augment import displacement_warp
+
+    rng = np.random.default_rng(0)
+    d, h, w = 24, 24, 24
+    zz, yy, xx = np.meshgrid(
+        np.linspace(0, 2 * np.pi, d), np.linspace(0, 2 * np.pi, h),
+        np.linspace(0, 2 * np.pi, w), indexing="ij",
+    )
+    vol = (np.sin(zz) * np.cos(2 * yy) + np.cos(xx + yy)).astype(np.float32)
+
+    # smooth random displacement, ~1.5 voxel amplitude (elastic regime)
+    def smooth_field():
+        f = rng.standard_normal((6, 6, 6))
+        from scipy.ndimage import zoom
+
+        return 1.5 * zoom(f, (d / 6, h / 6, w / 6), order=3).astype(
+            np.float32
+        ) / np.abs(f).max()
+
+    disp = np.stack([smooth_field() for _ in range(3)], axis=-1)
+
+    ours = np.asarray(
+        displacement_warp(
+            jnp.asarray(vol[None]), jnp.asarray(disp[None]), max_disp=3
+        )
+    )[0]
+
+    grid = np.stack(
+        np.meshgrid(np.arange(d), np.arange(h), np.arange(w), indexing="ij")
+    ).astype(np.float32)
+    coords = grid + np.moveaxis(disp, -1, 0)
+    joint = map_coordinates(vol, coords, order=1, mode="nearest")
+
+    err = np.abs(ours - joint)
+    vol_range = vol.max() - vol.min()
+    warp_delta = np.abs(joint - vol)
+    # separable-vs-joint error is a small fraction of the warp's own effect
+    assert err.mean() < 0.03 * vol_range
+    assert err.mean() < 0.25 * warp_delta.mean()
+    assert np.corrcoef(ours.ravel(), joint.ravel())[0, 1] > 0.995

@@ -418,9 +418,16 @@ def displacement_warp(vols: jax.Array, disp: jax.Array, max_disp: int):
     """Separable 3-axis displacement warp: [B,D,H,W] x [B,D,H,W,3] -> warped.
 
     Sequential single-axis passes (z, then y, then x) compose the vector
-    field; for smooth elastic fields this is distributionally equivalent to
-    joint trilinear sampling (exact when displacement varies along one axis),
-    and it is the form that runs at VPU speed on TPU.
+    field, the form that runs at VPU speed on TPU (no gathers).
+
+    KNOWN REFERENCE DEVIATION (documented in STATUS.md): the reference's
+    Rand3DElastic (MONAI) jointly trilinearly resamples the 3D vector field;
+    sequential axis passes only approximate joint sampling for real 3D
+    fields (exact when displacement varies along a single axis). For the
+    smooth, small-amplitude fields this augmentation draws, the approximation
+    error is bounded well below the augmentation noise itself —
+    tests/test_augment_mixers.py::test_separable_warp_close_to_joint_trilinear
+    measures it against scipy.ndimage.map_coordinates.
     """
     out = displacement_warp_axis(vols, disp[..., 0], 1, max_disp)
     out = displacement_warp_axis(out, disp[..., 1], 2, max_disp)

@@ -14,10 +14,14 @@ voxel-level gathers, so it runs at HBM speed.
 Modes (config key PRELOAD_DEVICE):
   * ``"float16"`` / ``"bfloat16"`` — bit-faithful to the host cache; N
     volumes cost N * D*H*W * 2 bytes of HBM.
-  * ``"int8"`` — per-volume affine quantization (scale/offset from the
-    volume's min/max); halves HBM. MRI volumes are smooth and every model
-    input is z-score normalized downstream, so the <=0.2% range error is
-    far below augmentation noise.
+  * ``"int8"`` — per-volume affine quantization (uint8 codes + f32
+    scale/offset from the volume's min/max — the mode name is the config's
+    public term for "8-bit"); halves HBM. MRI volumes are smooth and every
+    model input is z-score normalized downstream, so the <=0.2% range error
+    is far below augmentation noise. NOTE: this makes evaluation through a
+    resident store slightly LOSSY relative to the host pipeline
+    (float16/bfloat16 modes are bit-faithful —
+    tests/test_resident.py::test_evaluator_resident_matches_plain).
   * ``False`` — off (host pipeline ships gathered volumes, the default).
 """
 

@@ -167,17 +167,19 @@ def _bootstrap_summary(probs, gt_onehot, n_bootstrap, seed=42):
     return strip(results)
 
 
-def _resident_for(ds, cfg, cache: dict | None):
+def _resident_for(ds, cfg, cache: dict | None, mesh=None):
     """Dataset's HBM-resident store (PRELOAD_DEVICE), memoized across
     checkpoints via ``cache`` so the best-N eval matrix uploads each cohort
-    once."""
+    once. The Evaluator's mesh is threaded through so the store is
+    explicitly replicated once (matching trainer.train_fold) instead of
+    being resharded per jitted call on multi-device meshes."""
     mode = cfg.get("PRELOAD_DEVICE", False)
     if not mode:
         return None
     key = (str(ds.cache_dir), tuple(ds.subjects), str(mode))
     if cache is not None and key in cache:
         return cache[key]
-    res = build_resident(ds.all_volumes(), str(mode))
+    res = build_resident(ds.all_volumes(), str(mode), mesh)
     if cache is not None:
         cache[key] = res
     return res
@@ -238,12 +240,12 @@ def evaluate_checkpoint(
     ds_test = InMemoryDataset(cache_dir, meta_test, diseases)
 
     val_probs, val_gt = evaluator.predict_dataset(
-        variables, ds_val, _resident_for(ds_val, cfg, resident_cache)
+        variables, ds_val, _resident_for(ds_val, cfg, resident_cache, evaluator.mesh)
     )
     results["val"] = _bootstrap_summary(val_probs, val_gt, n_bootstrap, seed)
 
     test_probs, test_gt = evaluator.predict_dataset(
-        variables, ds_test, _resident_for(ds_test, cfg, resident_cache)
+        variables, ds_test, _resident_for(ds_test, cfg, resident_cache, evaluator.mesh)
     )
     results["test_id"] = _bootstrap_summary(test_probs, test_gt, n_bootstrap,
                                             seed)
@@ -259,7 +261,7 @@ def evaluate_checkpoint(
         )
         ds_od = InMemoryDataset(cache_dir, meta_od_known, diseases)
         od_probs, od_gt = evaluator.predict_dataset(
-            variables, ds_od, _resident_for(ds_od, cfg, resident_cache)
+            variables, ds_od, _resident_for(ds_od, cfg, resident_cache, evaluator.mesh)
         )
         results["test_od"] = _bootstrap_summary(od_probs, od_gt, n_bootstrap,
                                                 seed)

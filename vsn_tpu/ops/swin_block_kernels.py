@@ -46,6 +46,7 @@ Reference semantics: models/swin_transformer_3d.py:106-199 (attention),
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -78,8 +79,9 @@ def _ln_fwd(x, g, b):
 
 def _ln_bwd(dy, g, xhat, rstd):
     """Given upstream dy, return (dx, dg_partial, db_partial)."""
-    dg = jnp.sum(dy * xhat, axis=0)
-    db = jnp.sum(dy, axis=0)
+    red = tuple(range(dy.ndim - 1))
+    dg = jnp.sum(dy * xhat, axis=red)
+    db = jnp.sum(dy, axis=red)
     dxhat = dy * g
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
@@ -117,27 +119,58 @@ def _mm_dtype(x_dtype) -> jnp.dtype:
     return jnp.bfloat16 if x_dtype == jnp.bfloat16 else jnp.float32
 
 
+def _slot_gains(g_ref, pid, wb, nw):
+    """Per-slot gain scalars for a window-batched program.
+
+    Windows are sample-major (bw = B * nW). When wb divides nW every slot of
+    a program belongs to one sample -> a single scalar. Otherwise (nW == 1,
+    slots span samples — stage 4) each slot indexes its own sample.
+    """
+    if nw % wb == 0:
+        return g_ref[pid * wb // nw, 0]
+    vals = [g_ref[(pid * wb + k) // nw, 0] for k in range(wb)]
+    return jnp.stack(vals).reshape(wb, 1, 1)
+
+
+def _slot_masks(ids_ref, shared_ids):
+    """Additive region mask: [N, N] (shared) or [WB, N, N] (per slot).
+
+    ids_ref block is [1, wb, N] (3D so the Mosaic last-two-dims tiling rule
+    is satisfied for any wb). Intentional numeric difference vs the unfused
+    XLA path: _mask_from_ids uses NEG_INF=-1e9 where the reference (and the
+    unfused path) add -100.0 — softmax weights underflow to ~0 either way,
+    parity tests pass at 1e-4, and -1e9 keeps masked logits unambiguous
+    after the f32 bias adds."""
+    if shared_ids:
+        return _mask_from_ids(ids_ref[0, 0])
+    ids = ids_ref[0]
+    return jnp.where(
+        ids[:, :, None] != ids[:, None, :], _wa.NEG_INF, 0.0
+    ).astype(jnp.float32)
+
+
 def _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt):
-    """qkv [N, 3C] f32 -> merged-head attention output [N, C] f32, plus the
-    per-head probability list for reuse in the backward pass."""
-    n, c3 = qkv.shape
-    c = c3 // 3
+    """qkv [WB, N, 3C] f32 -> merged-head attention output [WB, N, C] f32,
+    plus the per-head probability list for reuse in the backward pass.
+    ``mask`` broadcasts: [N, N] shared or [WB, N, N] per slot."""
+    c = qkv.shape[-1] // 3
     d = c // n_heads
     outs, probs = [], []
     for h in range(n_heads):
-        q = qkv[:, h * d:(h + 1) * d].astype(cdt)
-        k = qkv[:, c + h * d:c + (h + 1) * d].astype(cdt)
-        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
+        q = qkv[:, :, h * d:(h + 1) * d].astype(cdt)
+        k = qkv[:, :, c + h * d:c + (h + 1) * d].astype(cdt)
+        v = qkv[:, :, 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                           # [WB, N, N]
         s = s + bias_ref[h] + mask
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
         outs.append(
             jax.lax.dot_general(
-                p.astype(cdt), v, (((1,), (0,)), ((), ())),
+                p.astype(cdt), v, (((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
             )
         )
@@ -145,40 +178,54 @@ def _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt):
     return jnp.concatenate(outs, axis=-1), probs
 
 
+def _bmm(a, b, contract_a, contract_b):
+    """Batched-over-axis-0 matmul: a [WB, ., .] x b [WB, ., .]."""
+    return jax.lax.dot_general(
+        a, b, (((contract_a,), (contract_b,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
 # ---------------------------------------------------------------------------
 # fused attention half: LN1 + qkv + window attention + proj + residual
 # ---------------------------------------------------------------------------
+#
+# The grid batches WB windows per program (``attn_window_batch``): one
+# program LNs + projects + attends WB windows with all matmuls batched over
+# the slot axis. Fewer, larger programs amortize grid/DMA overhead and keep
+# weight blocks resident — measured the dominant stage-1 cost at WB=1
+# (1728 programs of ~250 tokens each at micro 8).
 
 def _attn_fwd_kernel(gf_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
                      bqkv_ref, bias_ref, wproj_ref, bproj_ref, out_ref,
-                     *, scale, n_heads, lam, nw):
+                     *, scale, n_heads, lam, nw, wb, shared_ids):
     cdt = _mm_dtype(x_ref.dtype)
-    gf = gf_ref[pl.program_id(0) // nw, 0]
-    mask = _mask_from_ids(ids_ref[0, 0])
-    x = x_ref[0].astype(jnp.float32)                       # [N, C]
+    gf = _slot_gains(gf_ref, pl.program_id(0), wb, nw)
+    mask = _slot_masks(ids_ref, shared_ids)
+    x = x_ref[...].astype(jnp.float32)                     # [WB, N, C]
     y, _, _ = _ln_fwd(x, lng_ref[0], lnb_ref[0])
     qkv = jax.lax.dot_general(
-        y.astype(cdt), wqkv_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+        y.astype(cdt), wqkv_ref[...].astype(cdt), (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bqkv_ref[0]
     ao, _ = _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt)
     branch = jax.lax.dot_general(
-        ao.astype(cdt), wproj_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+        ao.astype(cdt), wproj_ref[...].astype(cdt), (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bproj_ref[0]
     out = lam * x + gf * branch
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[...] = out.astype(out_ref.dtype)
 
 
 def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
                      bqkv_ref, bias_ref, wproj_ref, bproj_ref, do_ref,
                      dx_ref, dlng_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
                      dbias_ref, dwproj_ref, dbproj_ref,
-                     *, scale, n_heads, lam, nw):
+                     *, scale, n_heads, lam, nw, wb, shared_ids):
     first = pl.program_id(0) == 0
-    n, c = x_ref.shape[1], x_ref.shape[2]
+    c = x_ref.shape[2]
     d = c // n_heads
-    mask = _mask_from_ids(ids_ref[0, 0])
+    mask = _slot_masks(ids_ref, shared_ids)
 
     @pl.when(first)
     def _():
@@ -192,89 +239,108 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
 
     # --- recompute forward ---
     cdt = _mm_dtype(x_ref.dtype)
-    x = x_ref[0].astype(jnp.float32)
+    x = x_ref[...].astype(jnp.float32)                      # [WB, N, C]
     lng = lng_ref[0]
     y, xhat, rstd = _ln_fwd(x, lng, lnb_ref[0])
     qkv = jax.lax.dot_general(
-        y.astype(cdt), wqkv_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+        y.astype(cdt), wqkv_ref[...].astype(cdt), (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + bqkv_ref[0]
     ao, probs = _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt)
 
     # --- backward ---
-    do_res = do_ref[0].astype(jnp.float32)                  # [N, C]
-    do = gb_ref[pl.program_id(0) // nw, 0] * do_res         # through gating
-    dwproj_ref[...] += jax.lax.dot_general(
-        ao.astype(cdt), do.astype(cdt), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    do_res = do_ref[...].astype(jnp.float32)                # [WB, N, C]
+    do = _slot_gains(gb_ref, pl.program_id(0), wb, nw) * do_res
+    dwproj_ref[...] += jnp.sum(
+        _bmm(ao.astype(cdt), do.astype(cdt), 1, 1), axis=0
     )
-    dbproj_ref[0] += jnp.sum(do, axis=0)
+    dbproj_ref[0] += jnp.sum(do, axis=(0, 1))
     dao = jax.lax.dot_general(
-        do.astype(cdt), wproj_ref[...].astype(cdt), (((1,), (1,)), ((), ())),
+        do.astype(cdt), wproj_ref[...].astype(cdt), (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
     dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
     for h in range(n_heads):
-        q = qkv[:, h * d:(h + 1) * d].astype(cdt)
-        k = qkv[:, c + h * d:c + (h + 1) * d].astype(cdt)
-        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
+        q = qkv[:, :, h * d:(h + 1) * d].astype(cdt)
+        k = qkv[:, :, c + h * d:c + (h + 1) * d].astype(cdt)
+        v = qkv[:, :, 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
         p = probs[h]
-        doh = dao[:, h * d:(h + 1) * d]
+        doh = dao[:, :, h * d:(h + 1) * d]
 
-        dv = jax.lax.dot_general(
-            p.astype(cdt), doh.astype(cdt), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            doh.astype(cdt), v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        dv = _bmm(p.astype(cdt), doh.astype(cdt), 1, 1)     # [WB, N, d]
+        dp = _bmm(doh.astype(cdt), v, 2, 2)                 # [WB, N, N]
         ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
         dsb = ds.astype(cdt)
-        dq = jax.lax.dot_general(
-            dsb, k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        dk = jax.lax.dot_general(
-            dsb, q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        dbias_ref[h] += ds
+        dq = _bmm(dsb, k, 2, 1) * scale
+        dk = _bmm(dsb, q, 1, 1) * scale
+        dbias_ref[h] += jnp.sum(ds, axis=0)
         dqkv_parts_q.append(dq)
         dqkv_parts_k.append(dk)
         dqkv_parts_v.append(dv)
 
     dqkv = jnp.concatenate(
         dqkv_parts_q + dqkv_parts_k + dqkv_parts_v, axis=-1
-    )                                                        # [N, 3C]
-    dwqkv_ref[...] += jax.lax.dot_general(
-        y.astype(cdt), dqkv.astype(cdt), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    )                                                        # [WB, N, 3C]
+    dwqkv_ref[...] += jnp.sum(
+        _bmm(y.astype(cdt), dqkv.astype(cdt), 1, 1), axis=0
     )
-    dbqkv_ref[0] += jnp.sum(dqkv, axis=0)
+    dbqkv_ref[0] += jnp.sum(dqkv, axis=(0, 1))
     dy = jax.lax.dot_general(
-        dqkv.astype(cdt), wqkv_ref[...].astype(cdt), (((1,), (1,)), ((), ())),
+        dqkv.astype(cdt), wqkv_ref[...].astype(cdt), (((2,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dx, dg, db = _ln_bwd(dy, lng, xhat, rstd)
     dlng_ref[0] += dg
     dlnb_ref[0] += db
-    dx_ref[0] = (lam * do_res + dx).astype(dx_ref.dtype)
+    dx_ref[...] = (lam * do_res + dx).astype(dx_ref.dtype)
 
 
-def _attn_specs(n, c, n_heads, w, nsamp):
+def attn_window_batch(n_windows: int, nsamp: int, n: int, c: int,
+                      n_heads: int, backward: bool) -> int:
+    """Windows per program: largest power-of-two batch that divides the
+    window layout and keeps the per-program activation footprint modest.
+
+    Activation model per slot (f32): x/y/do/dx ~ 4 N C, qkv/dqkv ~ 6 N C,
+    probs kept for all heads in bwd ~ H N^2 (+ score temporaries ~ 3 N^2).
+    """
+    def fits(wb):
+        per_slot = 4 * n * (10 * c + (n_heads + 3) * n)
+        if backward:
+            per_slot = 2 * per_slot
+        divides = (n_windows % wb == 0) or (
+            n_windows == 1 and nsamp % wb == 0
+        )
+        return divides and wb * per_slot < 48 * 1024 * 1024
+
+    env = os.environ.get("VSN_ATTN_WB")
+    if env and fits(int(env)):
+        return int(env)
+    for wb in (32, 27, 24, 16, 12, 9, 8, 6, 4, 3, 2, 1):
+        if fits(wb):
+            return wb
+    return 1
+
+
+def _attn_specs(n, c, n_heads, w, nsamp, wb):
     blk = lambda shape: pl.BlockSpec(
         shape, lambda bi: (0,) * len(shape), memory_space=pltpu.VMEM
     )
-    x_spec = pl.BlockSpec((1, n, c), lambda bi: (bi, 0, 0),
+    x_spec = pl.BlockSpec((wb, n, c), lambda bi: (bi, 0, 0),
                           memory_space=pltpu.VMEM)
-    ids_spec = pl.BlockSpec((1, 1, n), lambda bi: (bi % w, 0, 0),
-                            memory_space=pltpu.VMEM)
+    if w == 1:
+        ids_spec = pl.BlockSpec((1, 1, n), lambda bi: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        # windows are sample-major and wb | w, so program bi covers ids
+        # group (bi % (w//wb)) of the [W//wb, wb, N] table (3D so the block
+        # satisfies Mosaic's last-two-dims tiling rule for any wb)
+        ids_spec = pl.BlockSpec((1, wb, n), lambda bi: (bi % (w // wb), 0, 0),
+                                memory_space=pltpu.VMEM)
     # Whole per-SAMPLE gains array in SMEM for every program; indexed
-    # in-kernel as program_id // nW. SMEM scalars cost ~512 B each, so the
-    # array must stay per-sample (a per-window [BW] array overflows the
-    # 1 MB SMEM at micro-batch 16).
+    # in-kernel per slot. SMEM scalars cost ~512 B each, so the array must
+    # stay per-sample (a per-window [BW] array overflows the 1 MB SMEM at
+    # micro-batch 16).
     gain_spec = pl.BlockSpec((nsamp, 1), lambda bi: (0, 0),
                              memory_space=pltpu.SMEM)
     return dict(
@@ -295,13 +361,15 @@ def _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
     bw, n, c = x.shape
     w = ids.shape[0]
     nsamp = gf.shape[0]
-    sp = _attn_specs(n, c, n_heads, w, nsamp)
+    nw = bw // nsamp
+    wb = attn_window_batch(w if w > 1 else nw, nsamp, n, c, n_heads, False)
+    sp = _attn_specs(n, c, n_heads, w, nsamp, wb)
     return pl.pallas_call(
         functools.partial(
             _attn_fwd_kernel, scale=scale, n_heads=n_heads, lam=lam,
-            nw=bw // nsamp,
+            nw=nw, wb=wb, shared_ids=(w == 1),
         ),
-        grid=(bw,),
+        grid=(bw // wb,),
         in_specs=[sp["gain"], sp["ids"], sp["x"], sp["lnv"], sp["lnv"],
                   sp["wqkv"], sp["bqkv"], sp["bias"], sp["wproj"],
                   sp["bproj"]],
@@ -309,9 +377,9 @@ def _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=_CPARAMS,
         interpret=not _wa._on_tpu(),
-    )(gf.reshape(nsamp, 1), ids.reshape(w, 1, n), x, lng.reshape(1, c),
-      lnb.reshape(1, c), wqkv, bqkv.reshape(1, 3 * c), bias, wproj,
-      bproj.reshape(1, c))
+    )(gf.reshape(nsamp, 1), ids.reshape(max(w // wb, 1), -1, n), x,
+      lng.reshape(1, c), lnb.reshape(1, c), wqkv, bqkv.reshape(1, 3 * c),
+      bias, wproj, bproj.reshape(1, c))
 
 
 def _attn_half_bwd(scale, n_heads, lam, res, do):
@@ -319,14 +387,16 @@ def _attn_half_bwd(scale, n_heads, lam, res, do):
     bw, n, c = x.shape
     w = ids.shape[0]
     nsamp = gf.shape[0]
-    sp = _attn_specs(n, c, n_heads, w, nsamp)
+    nw = bw // nsamp
+    wb = attn_window_batch(w if w > 1 else nw, nsamp, n, c, n_heads, True)
+    sp = _attn_specs(n, c, n_heads, w, nsamp, wb)
     f32 = jnp.float32
     dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj = pl.pallas_call(
         functools.partial(
             _attn_bwd_kernel, scale=scale, n_heads=n_heads, lam=lam,
-            nw=bw // nsamp,
+            nw=nw, wb=wb, shared_ids=(w == 1),
         ),
-        grid=(bw,),
+        grid=(bw // wb,),
         in_specs=[sp["gain"], sp["ids"], sp["x"], sp["lnv"], sp["lnv"],
                   sp["wqkv"], sp["bqkv"], sp["bias"], sp["wproj"],
                   sp["bproj"], sp["x"]],
@@ -344,9 +414,9 @@ def _attn_half_bwd(scale, n_heads, lam, res, do):
         ),
         compiler_params=_CPARAMS,
         interpret=not _wa._on_tpu(),
-    )(gb.reshape(nsamp, 1), ids.reshape(w, 1, n), x, lng.reshape(1, c),
-      lnb.reshape(1, c), wqkv, bqkv.reshape(1, 3 * c), bias, wproj,
-      bproj.reshape(1, c), do)
+    )(gb.reshape(nsamp, 1), ids.reshape(max(w // wb, 1), -1, n), x,
+      lng.reshape(1, c), lnb.reshape(1, c), wqkv, bqkv.reshape(1, 3 * c),
+      bias, wproj, bproj.reshape(1, c), do)
     return (dx, dlng.reshape(c), dlnb.reshape(c), dwqkv,
             dbqkv.reshape(3 * c), dbias, None, dwproj, dbproj.reshape(c),
             jnp.zeros_like(gf), jnp.zeros_like(gb))
