@@ -90,3 +90,46 @@ def test_param_count_vit_s_reasonable():
     params = jax.eval_shape(lambda: model.init(jax.random.key(0), x, True))
     n = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))
     assert 20e6 < n < 40e6, n
+
+
+def test_vit_fused_mlp_half_matches_unfused():
+    """The fused LN+MLP kernel path (VERDICT round-1 item 4) must declare an
+    identical param tree and match the unfused block, including the CLS
+    token's non-multiple-of-8 row count (pad + slice)."""
+    import numpy as np
+    from tests.test_swin_block_kernels import _ForceTpu
+    from vsn_tpu.models.vit3d import ViTBlock
+
+    rng = np.random.default_rng(0)
+    b, t, c = 2, 17, 16  # t=17: prime-ish, forces the pad path
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+
+    kw = dict(heads=2, dim_head=8, mlp_dim=32, drop_path_rate=0.0)
+    blk_ref = ViTBlock(**kw, use_pallas=False)
+    variables = blk_ref.init(jax.random.key(0), x, True)
+    out_ref = blk_ref.apply(variables, x, True)
+
+    blk_fused = ViTBlock(**kw, use_pallas=True)
+    with _ForceTpu():
+        v_fused = blk_fused.init(jax.random.key(0), x, True)
+        assert jax.tree.structure(v_fused) == jax.tree.structure(variables)
+        out_fused = blk_fused.apply(variables, x, True)
+
+        def loss_fused(p):
+            return blk_fused.apply({"params": p}, x, True).sum()
+
+        g_fused = jax.grad(loss_fused)(variables["params"])
+
+    def loss_ref(p):
+        return blk_ref.apply({"params": p}, x, True).sum()
+
+    g_ref = jax.grad(loss_ref)(variables["params"])
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-4)
+    flat_f = jax.tree.leaves_with_path(g_fused)
+    flat_r = dict(jax.tree.leaves_with_path(g_ref))
+    for path, leaf in flat_f:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_r[path]),
+            rtol=5e-4, atol=5e-4, err_msg=str(path),
+        )

@@ -126,11 +126,13 @@ class ViTBlock(nn.Module):
     drop_path_rate: float = 0.0
     post_norm: bool = False
     norm_ctor: Optional[callable] = None
+    norm_layer_name: Optional[str] = None
     layer_scale: bool = False
     layer_scale_init_value: float = 1e-5
     enable_stable: bool = False
     stable_lam: float = 1.0
     stable_beta: float = 0.0
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -161,6 +163,9 @@ class ViTBlock(nn.Module):
             attn_out = norm_ctor(name="attn_norm")(attn_out)
         x = ResidualBranch(**residual_kw, name="res1")(x, attn_out, deterministic)
 
+        if self._fused_mlp_ok():
+            return self._fused_mlp_half(x, deterministic)
+
         h = x if self.post_norm else norm_ctor(name="ff_prenorm")(x)
         mlp_kernel_init = (
             normal_init(stable_vproj_std(x.shape[-1], self.dropout))
@@ -178,6 +183,83 @@ class ViTBlock(nn.Module):
             ff_out = norm_ctor(name="ff_norm")(ff_out)
         x = ResidualBranch(**residual_kw, name="res2")(x, ff_out, deterministic)
         return x
+
+    def _fused_mlp_ok(self) -> bool:
+        """Static gate mirroring SwinBlock3D._fused_ok: the fused LN+MLP
+        Pallas kernel (vsn_tpu/ops/swin_block_kernels.py:fused_ln_mlp,
+        reusable per VERDICT round 1 item 4 — ViT's MLP halves are
+        shape-identical to Swin's [T, C] form) applies for pre-norm
+        LayerNorm, zero dropout, no LayerScale, on TPU."""
+        return (
+            self.use_pallas
+            and not self.post_norm
+            and not self.layer_scale
+            and self.norm_layer_name in (None, False, "nn.LayerNorm",
+                                         "LayerNorm")
+            and self.dropout == 0.0
+            and jax.devices()[0].platform == "tpu"
+        )
+
+    def _fused_mlp_half(self, x, deterministic):
+        """LN + fc1 + GELU + fc2 + gated residual as one Pallas kernel.
+
+        Declares a param tree bit-identical to the unfused
+        ff_prenorm/mlp/res2 modules (checkpoints interoperate). The token
+        count (n_tokens + CLS = e.g. 811) is padded up to a multiple of 8
+        so a tile divides the per-sample rows; pad rows are sliced off.
+        """
+        from vsn_tpu.models.layers import residual_branch_gains
+        from vsn_tpu.models.swin3d import _MlpParams, _NormParams, _RngDraw
+        from vsn_tpu.ops.swin_block_kernels import (
+            fused_ln_mlp,
+            ln_mlp_vmem_ok,
+            mlp_tile_rows,
+        )
+
+        b, t, c = x.shape
+        lng, lnb = _NormParams(c, name="ff_prenorm")()
+        mlp_kernel_init = (
+            normal_init(stable_vproj_std(c, self.dropout))
+            if self.enable_stable
+            else trunc_normal_init(0.02)
+        )
+        w1, b1, w2, b2 = _MlpParams(
+            dim=c, hidden=self.mlp_dim, kernel_init=mlp_kernel_init,
+            name="mlp",
+        )()
+        needs_rng = self.drop_path_rate > 0.0 and not deterministic
+        rng = _RngDraw(stream="dropout", name="res2")() if needs_rng else None
+        gf, gb = residual_branch_gains(
+            b, self.drop_path_rate, False, (-1.0, 1.0), deterministic, rng
+        )
+        beta = self.stable_beta if self.enable_stable else 1.0
+        gf, gb = gf * beta, gb * beta
+        lam = float(self.stable_lam) if self.enable_stable else 1.0
+
+        t_pad = -(-t // 8) * 8
+        tile = mlp_tile_rows(t_pad)
+        if tile and ln_mlp_vmem_ok(c, self.mlp_dim, tile):
+            xp = (
+                jnp.pad(x, [(0, 0), (0, t_pad - t), (0, 0)])
+                if t_pad != t else x
+            )
+            flat = xp.reshape(b * t_pad, c)
+            out = fused_ln_mlp(
+                flat, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam
+            ).reshape(b, t_pad, c)[:, :t]
+            return out.astype(self.dtype)
+        # same math via XLA on the declared params
+        from vsn_tpu.models.layers import gated_residual
+        from vsn_tpu.models.swin3d import _apply_layernorm
+
+        y = _apply_layernorm(x, lng, lnb, self.dtype)
+        h1 = jnp.dot(y, w1.astype(self.dtype)) + b1.astype(self.dtype)
+        hact = nn.gelu(h1.astype(jnp.float32), approximate=False)
+        ff = (
+            jnp.dot(hact.astype(self.dtype), w2.astype(self.dtype))
+            + b2.astype(self.dtype)
+        )
+        return gated_residual(x, ff, gf, gb, lam).astype(self.dtype)
 
 
 class ViT3D(nn.Module):
@@ -204,6 +286,7 @@ class ViT3D(nn.Module):
     layer_scale_init_value: float = 1e-5
     post_norm: bool = False
     norm_layer: Optional[str] = None
+    use_pallas: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -278,6 +361,8 @@ class ViT3D(nn.Module):
                 drop_path_rate=dpr[i],
                 post_norm=self.post_norm,
                 norm_ctor=norm_ctor,
+                norm_layer_name=self.norm_layer,
+                use_pallas=self.use_pallas,
                 layer_scale=self.layer_scale,
                 layer_scale_init_value=self.layer_scale_init_value,
                 enable_stable=self.enable_stable,
@@ -324,5 +409,6 @@ def vit_from_config(cfg, dtype=jnp.float32) -> ViT3D:
         layer_scale_init_value=float(cfg.LAYER_SCALE_INIT_VALUE),
         post_norm=bool(cfg.POST_NORM),
         norm_layer=cfg.NORM_LAYER,
+        use_pallas=bool(cfg.get("USE_PALLAS_ATTENTION", True)),
         dtype=dtype,
     )
