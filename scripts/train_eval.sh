@@ -3,13 +3,16 @@
 #
 # Equivalent of reference scripts/transformer.sh: same public flags; instead
 # of torchrun process-per-GPU, a single JAX process drives the whole device
-# mesh (SPMD), so no launcher is needed. Eval runs over the best-N
-# checkpoints sequentially (one chip) — shard --checkpoints across hosts for
-# the reference's parallel-eval behavior.
+# mesh (SPMD), so no launcher is needed. With --eval-parallel N the best-N
+# checkpoints are sharded across N background eval processes with
+# signal-based cleanup (reference transformer.sh:242-266 behavior; device
+# pinning comes from the environment, e.g. TPU_VISIBLE_DEVICES per process
+# on a multi-chip host — keep N=1 on single-chip or tunneled setups).
 set -euo pipefail
 
 TRAINING_CSV_DIR="" SAVE_DIR="" INTERMEDIATE_DIR="" RUNNAME="" EVAL_CSV=""
 CONFIG="" FOLD=0 CHECKPOINT="" SEED="__unset__" USE_TTA="" MAX_STEPS=""
+EVAL_PARALLEL=1
 
 while [[ $# -gt 0 ]]; do
   case "$1" in
@@ -24,6 +27,7 @@ while [[ $# -gt 0 ]]; do
     --seed)             SEED="$2"; shift 2;;
     --use-tta)          USE_TTA="--use-tta"; shift;;
     --max-steps)        MAX_STEPS="$2"; shift 2;;
+    --eval-parallel)    EVAL_PARALLEL="$2"; shift 2;;
     *) echo "unknown flag: $1" >&2; exit 1;;
   esac
 done
@@ -54,9 +58,32 @@ if [[ ${#BEST[@]} -eq 0 ]]; then
   echo "[train_eval] no best checkpoints found for ${RUNNAME} fold ${FOLD}" >&2
   exit 1
 fi
-echo "[train_eval] evaluating ${#BEST[@]} checkpoints"
-EVAL_ARGS=(--checkpoints "${BEST[@]}" --training-csv-dir "$TRAINING_CSV_DIR"
-           --intermediate-dir "$INTERMEDIATE_DIR"
-           --output-dir "${SAVE_DIR}/predictions" $USE_TTA)
-[[ -n "$EVAL_CSV" ]] && EVAL_ARGS+=(--eval-csv "$EVAL_CSV")
-python -m vsn_tpu.eval.evaluate "${EVAL_ARGS[@]}"
+COMMON_EVAL_ARGS=(--training-csv-dir "$TRAINING_CSV_DIR"
+                  --intermediate-dir "$INTERMEDIATE_DIR"
+                  --output-dir "${SAVE_DIR}/predictions" $USE_TTA)
+[[ -n "$EVAL_CSV" ]] && COMMON_EVAL_ARGS+=(--eval-csv "$EVAL_CSV")
+
+if [[ "$EVAL_PARALLEL" -le 1 || ${#BEST[@]} -le 1 ]]; then
+  echo "[train_eval] evaluating ${#BEST[@]} checkpoints sequentially"
+  python -m vsn_tpu.eval.evaluate --checkpoints "${BEST[@]}" \
+    "${COMMON_EVAL_ARGS[@]}"
+else
+  # shard checkpoints round-robin across background eval processes
+  # (reference transformer.sh:242-266); kill the group on any signal
+  N=$(( EVAL_PARALLEL < ${#BEST[@]} ? EVAL_PARALLEL : ${#BEST[@]} ))
+  echo "[train_eval] evaluating ${#BEST[@]} checkpoints across ${N} processes"
+  PIDS=()
+  cleanup() { for p in "${PIDS[@]}"; do kill "$p" 2>/dev/null || true; done; }
+  trap cleanup INT TERM
+  for (( w=0; w<N; w++ )); do
+    SHARD=()
+    for (( i=w; i<${#BEST[@]}; i+=N )); do SHARD+=("${BEST[$i]}"); done
+    python -m vsn_tpu.eval.evaluate --checkpoints "${SHARD[@]}" \
+      "${COMMON_EVAL_ARGS[@]}" &
+    PIDS+=($!)
+  done
+  FAIL=0
+  for p in "${PIDS[@]}"; do wait "$p" || FAIL=1; done
+  trap - INT TERM
+  [[ $FAIL -eq 0 ]] || { echo "[train_eval] an eval shard failed" >&2; exit 1; }
+fi
