@@ -275,3 +275,71 @@ def test_fused_block_under_remat():
 
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("wb,n_samples,n_windows", [(2, 4, 1), (4, 2, 8)])
+def test_fused_attn_half_window_batched_gains(monkeypatch, wb, n_samples,
+                                              n_windows):
+    """Window-batched programs (incl. slots spanning samples when nW=1, the
+    stage-4 layout) must apply each sample's own gain and match the per-
+    window oracle."""
+    monkeypatch.setenv("VSN_ATTN_WB", str(wb))
+    heads, hd, n = 2, 4, 8
+    c = heads * hd
+    rng = np.random.default_rng(3)
+    if n_windows > 1:
+        ids = jnp.asarray(
+            shifted_window_region_ids((4, 4, 4), (2, 2, 2), (1, 1, 1))
+        )
+    else:
+        ids = jnp.zeros((1, n), jnp.int32)
+    bw = n_samples * n_windows
+    x = jnp.asarray(rng.standard_normal((bw, n, c)), jnp.float32)
+    lng = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c), jnp.float32)
+    lnb = jnp.asarray(0.1 * rng.standard_normal(c), jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((c, 3 * c)) * 0.1, jnp.float32)
+    bqkv = jnp.asarray(rng.standard_normal(3 * c) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((heads, n, n)) * 0.1, jnp.float32)
+    wproj = jnp.asarray(rng.standard_normal((c, c)) * 0.1, jnp.float32)
+    bproj = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+    gf = jnp.asarray(rng.uniform(0.5, 1.5, n_samples), jnp.float32)
+    gb = jnp.asarray(rng.uniform(0.5, 1.5, n_samples), jnp.float32)
+    scale = hd**-0.5
+
+    def oracle(xx):
+        y = _ln(xx, lng, lnb)
+        qkv = y @ wqkv + bqkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        sh = lambda t: t.reshape(bw, n, heads, hd).transpose(0, 2, 1, 3)
+        r = window_attention_reference(sh(q), sh(k), sh(v), bias, ids, scale)
+        r = r.transpose(0, 2, 1, 3).reshape(bw, n, c)
+        branch = r @ wproj + bproj
+        g = jnp.repeat(gf, n_windows)[:, None, None]
+        return xx + g * branch
+
+    out = fused_attn_half(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
+                          gf, gb, scale, heads, 1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(oracle(x)),
+                               rtol=2e-5, atol=2e-5)
+
+    # backward: dx must route through per-sample gb, params through chain
+    ct = jnp.asarray(rng.standard_normal(out.shape), jnp.float32)
+    gx = jax.grad(lambda xx: (fused_attn_half(
+        xx, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj, gf, gb,
+        scale, heads, 1.0) * ct).sum())(x)
+
+    def oracle_gated(xx):
+        """gb on the branch grad path: out = x + detach-gated branch."""
+        y = _ln(xx, lng, lnb)
+        qkv = y @ wqkv + bqkv
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        sh = lambda t: t.reshape(bw, n, heads, hd).transpose(0, 2, 1, 3)
+        r = window_attention_reference(sh(q), sh(k), sh(v), bias, ids, scale)
+        r = r.transpose(0, 2, 1, 3).reshape(bw, n, c)
+        branch = r @ wproj + bproj
+        g = jnp.repeat(gb, n_windows)[:, None, None]
+        return xx + g * branch
+
+    gx_ref = jax.grad(lambda xx: (oracle_gated(xx) * ct).sum())(x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=2e-5, atol=2e-5)

@@ -132,8 +132,8 @@ def _slot_gains(g_ref, pid, wb, nw):
     return jnp.stack(vals).reshape(wb, 1, 1)
 
 
-def _slot_masks(ids_ref, shared_ids):
-    """Additive region mask: [N, N] (shared) or [WB, N, N] (per slot).
+def _slot_masks(ids_ref, shared_ids, wb):
+    """Additive region mask: [N, N] (shared or wb=1) or [WB, N, N].
 
     ids_ref block is [1, wb, N] (3D so the Mosaic last-two-dims tiling rule
     is satisfied for any wb). Intentional numeric difference vs the unfused
@@ -141,7 +141,7 @@ def _slot_masks(ids_ref, shared_ids):
     unfused path) add -100.0 — softmax weights underflow to ~0 either way,
     parity tests pass at 1e-4, and -1e9 keeps masked logits unambiguous
     after the f32 bias adds."""
-    if shared_ids:
+    if shared_ids or wb == 1:
         return _mask_from_ids(ids_ref[0, 0])
     ids = ids_ref[0]
     return jnp.where(
@@ -150,38 +150,33 @@ def _slot_masks(ids_ref, shared_ids):
 
 
 def _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt):
-    """qkv [WB, N, 3C] f32 -> merged-head attention output [WB, N, C] f32,
-    plus the per-head probability list for reuse in the backward pass.
-    ``mask`` broadcasts: [N, N] shared or [WB, N, N] per slot."""
+    """qkv [(WB,) N, 3C] f32 -> merged-head attention output [(WB,) N, C]
+    f32, plus the per-head probability list for reuse in the backward pass.
+    Handles 2D (wb=1 fast path — measured faster than batch-1 3D dots) and
+    3D window-batched forms; ``mask`` broadcasts."""
     c = qkv.shape[-1] // 3
     d = c // n_heads
+    nd = qkv.ndim
     outs, probs = [], []
     for h in range(n_heads):
-        q = qkv[:, :, h * d:(h + 1) * d].astype(cdt)
-        k = qkv[:, :, c + h * d:c + (h + 1) * d].astype(cdt)
-        v = qkv[:, :, 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
-        s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale                                           # [WB, N, N]
+        q = qkv[..., h * d:(h + 1) * d].astype(cdt)
+        k = qkv[..., c + h * d:c + (h + 1) * d].astype(cdt)
+        v = qkv[..., 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
+        s = _bmm(q, k, nd - 1, nd - 1) * scale              # [(WB,) N, N]
         s = s + bias_ref[h] + mask
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(
-            jax.lax.dot_general(
-                p.astype(cdt), v, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )
-        )
+        outs.append(_bmm(p.astype(cdt), v, nd - 1, nd - 2))
         probs.append(p)
     return jnp.concatenate(outs, axis=-1), probs
 
 
 def _bmm(a, b, contract_a, contract_b):
-    """Batched-over-axis-0 matmul: a [WB, ., .] x b [WB, ., .]."""
+    """Matmul contracting one axis each; axis 0 is a batch dim iff 3D."""
+    batch = ((0,), (0,)) if a.ndim == 3 else ((), ())
     return jax.lax.dot_general(
-        a, b, (((contract_a,), (contract_b,)), ((0,), (0,))),
+        a, b, (((contract_a,), (contract_b,)), batch),
         preferred_element_type=jnp.float32,
     )
 
@@ -196,25 +191,31 @@ def _bmm(a, b, contract_a, contract_b):
 # weight blocks resident — measured the dominant stage-1 cost at WB=1
 # (1728 programs of ~250 tokens each at micro 8).
 
+def _mmw(a, w, w_axis=0):
+    """Contract a's last axis with weight axis ``w_axis`` (no batch dims)."""
+    return jax.lax.dot_general(
+        a, w, (((a.ndim - 1,), (w_axis,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _attn_fwd_kernel(gf_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
                      bqkv_ref, bias_ref, wproj_ref, bproj_ref, out_ref,
                      *, scale, n_heads, lam, nw, wb, shared_ids):
     cdt = _mm_dtype(x_ref.dtype)
     gf = _slot_gains(gf_ref, pl.program_id(0), wb, nw)
-    mask = _slot_masks(ids_ref, shared_ids)
-    x = x_ref[...].astype(jnp.float32)                     # [WB, N, C]
+    mask = _slot_masks(ids_ref, shared_ids, wb)
+    # wb=1 fast path stays 2D: batch-1 3D dots measured ~10% slower
+    x = (x_ref[0] if wb == 1 else x_ref[...]).astype(jnp.float32)
     y, _, _ = _ln_fwd(x, lng_ref[0], lnb_ref[0])
-    qkv = jax.lax.dot_general(
-        y.astype(cdt), wqkv_ref[...].astype(cdt), (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bqkv_ref[0]
+    qkv = _mmw(y.astype(cdt), wqkv_ref[...].astype(cdt)) + bqkv_ref[0]
     ao, _ = _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt)
-    branch = jax.lax.dot_general(
-        ao.astype(cdt), wproj_ref[...].astype(cdt), (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bproj_ref[0]
+    branch = _mmw(ao.astype(cdt), wproj_ref[...].astype(cdt)) + bproj_ref[0]
     out = lam * x + gf * branch
-    out_ref[...] = out.astype(out_ref.dtype)
+    if wb == 1:
+        out_ref[0] = out.astype(out_ref.dtype)
+    else:
+        out_ref[...] = out.astype(out_ref.dtype)
 
 
 def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
@@ -225,7 +226,7 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
     first = pl.program_id(0) == 0
     c = x_ref.shape[2]
     d = c // n_heads
-    mask = _slot_masks(ids_ref, shared_ids)
+    mask = _slot_masks(ids_ref, shared_ids, wb)
 
     @pl.when(first)
     def _():
@@ -239,86 +240,89 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
 
     # --- recompute forward ---
     cdt = _mm_dtype(x_ref.dtype)
-    x = x_ref[...].astype(jnp.float32)                      # [WB, N, C]
+    x = (x_ref[0] if wb == 1 else x_ref[...]).astype(jnp.float32)
     lng = lng_ref[0]
     y, xhat, rstd = _ln_fwd(x, lng, lnb_ref[0])
-    qkv = jax.lax.dot_general(
-        y.astype(cdt), wqkv_ref[...].astype(cdt), (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bqkv_ref[0]
+    qkv = _mmw(y.astype(cdt), wqkv_ref[...].astype(cdt)) + bqkv_ref[0]
     ao, probs = _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt)
+    nd = qkv.ndim
+    tok_axes = tuple(range(nd - 1))
+
+    def outer_acc(a, b):
+        """Token-contracted outer product summed over slots: [.., C1] x
+        [.., C2] -> [C1, C2]."""
+        if nd == 2:
+            return jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return jnp.sum(_bmm(a, b, 1, 1), axis=0)
 
     # --- backward ---
-    do_res = do_ref[...].astype(jnp.float32)                # [WB, N, C]
+    do_res = (do_ref[0] if wb == 1 else do_ref[...]).astype(jnp.float32)
     do = _slot_gains(gb_ref, pl.program_id(0), wb, nw) * do_res
-    dwproj_ref[...] += jnp.sum(
-        _bmm(ao.astype(cdt), do.astype(cdt), 1, 1), axis=0
-    )
-    dbproj_ref[0] += jnp.sum(do, axis=(0, 1))
-    dao = jax.lax.dot_general(
-        do.astype(cdt), wproj_ref[...].astype(cdt), (((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    dwproj_ref[...] += outer_acc(ao.astype(cdt), do.astype(cdt))
+    dbproj_ref[0] += jnp.sum(do, axis=tok_axes)
+    dao = _mmw(do.astype(cdt), wproj_ref[...].astype(cdt), w_axis=1)
 
     dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
     for h in range(n_heads):
-        q = qkv[:, :, h * d:(h + 1) * d].astype(cdt)
-        k = qkv[:, :, c + h * d:c + (h + 1) * d].astype(cdt)
-        v = qkv[:, :, 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
+        q = qkv[..., h * d:(h + 1) * d].astype(cdt)
+        k = qkv[..., c + h * d:c + (h + 1) * d].astype(cdt)
+        v = qkv[..., 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
         p = probs[h]
-        doh = dao[:, :, h * d:(h + 1) * d]
+        doh = dao[..., h * d:(h + 1) * d]
 
-        dv = _bmm(p.astype(cdt), doh.astype(cdt), 1, 1)     # [WB, N, d]
-        dp = _bmm(doh.astype(cdt), v, 2, 2)                 # [WB, N, N]
+        dv = (
+            jax.lax.dot_general(
+                p.astype(cdt), doh.astype(cdt), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) if nd == 2 else _bmm(p.astype(cdt), doh.astype(cdt), 1, 1)
+        )
+        dp = _bmm(doh.astype(cdt), v, nd - 1, nd - 1)        # [.., N, N]
         ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
         dsb = ds.astype(cdt)
-        dq = _bmm(dsb, k, 2, 1) * scale
-        dk = _bmm(dsb, q, 1, 1) * scale
-        dbias_ref[h] += jnp.sum(ds, axis=0)
+        dq = _bmm(dsb, k, nd - 1, nd - 2) * scale
+        dk = (
+            jax.lax.dot_general(
+                dsb, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) if nd == 2 else _bmm(dsb, q, 1, 1)
+        ) * scale
+        dbias_ref[h] += ds if nd == 2 else jnp.sum(ds, axis=0)
         dqkv_parts_q.append(dq)
         dqkv_parts_k.append(dk)
         dqkv_parts_v.append(dv)
 
     dqkv = jnp.concatenate(
         dqkv_parts_q + dqkv_parts_k + dqkv_parts_v, axis=-1
-    )                                                        # [WB, N, 3C]
-    dwqkv_ref[...] += jnp.sum(
-        _bmm(y.astype(cdt), dqkv.astype(cdt), 1, 1), axis=0
-    )
-    dbqkv_ref[0] += jnp.sum(dqkv, axis=(0, 1))
-    dy = jax.lax.dot_general(
-        dqkv.astype(cdt), wqkv_ref[...].astype(cdt), (((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    )                                                        # [.., N, 3C]
+    dwqkv_ref[...] += outer_acc(y.astype(cdt), dqkv.astype(cdt))
+    dbqkv_ref[0] += jnp.sum(dqkv, axis=tok_axes)
+    dy = _mmw(dqkv.astype(cdt), wqkv_ref[...].astype(cdt), w_axis=1)
     dx, dg, db = _ln_bwd(dy, lng, xhat, rstd)
     dlng_ref[0] += dg
     dlnb_ref[0] += db
-    dx_ref[...] = (lam * do_res + dx).astype(dx_ref.dtype)
+    if wb == 1:
+        dx_ref[0] = (lam * do_res + dx).astype(dx_ref.dtype)
+    else:
+        dx_ref[...] = (lam * do_res + dx).astype(dx_ref.dtype)
 
 
 def attn_window_batch(n_windows: int, nsamp: int, n: int, c: int,
                       n_heads: int, backward: bool) -> int:
-    """Windows per program: largest power-of-two batch that divides the
-    window layout and keeps the per-program activation footprint modest.
-
-    Activation model per slot (f32): x/y/do/dx ~ 4 N C, qkv/dqkv ~ 6 N C,
-    probs kept for all heads in bwd ~ H N^2 (+ score temporaries ~ 3 N^2).
-    """
-    def fits(wb):
-        per_slot = 4 * n * (10 * c + (n_heads + 3) * n)
-        if backward:
-            per_slot = 2 * per_slot
-        divides = (n_windows % wb == 0) or (
-            n_windows == 1 and nsamp % wb == 0
-        )
-        return divides and wb * per_slot < 48 * 1024 * 1024
-
+    """Windows per kernel program (the grid covers bw // wb programs)."""
     env = os.environ.get("VSN_ATTN_WB")
-    if env and fits(int(env)):
-        return int(env)
-    for wb in (32, 27, 24, 16, 12, 9, 8, 6, 4, 3, 2, 1):
-        if fits(wb):
-            return wb
+    if env:
+        wb = int(env)
+        if (n_windows % wb == 0) or (n_windows == 1 and nsamp % wb == 0):
+            return wb  # dev override: trusted past the VMEM model
+    # Measured (dispatch-free chain probe, stage-1 shapes): wb=1 4.06 ms
+    # fwd/kernel vs 5.0-5.1 ms at wb=8/12/27 — batched 3D dots lower worse
+    # than per-window 2D matmuls, and program count is NOT the bottleneck
+    # (the axon tunnel's ~6 ms per-DISPATCH latency had contaminated the
+    # single-call numbers that motivated batching). Default stays 1; the
+    # env knob remains for re-evaluation on other TPU generations.
     return 1
 
 
