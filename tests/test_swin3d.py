@@ -174,3 +174,34 @@ def test_norm_layer_options(norm):
     out = model.apply(params, x, True)
     assert out.shape == (1, 5)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_expand_bias_table_matches_gather():
+    """Banded-contraction bias expansion == the index-table gather, and its
+    gradient == the gather's scatter-add VJP."""
+    import numpy as np
+    from vsn_tpu.models.swin3d import (
+        expand_bias_table,
+        relative_position_index,
+    )
+
+    window = (3, 4, 3)
+    h = 5
+    rng = np.random.default_rng(0)
+    size = (2 * 3 - 1) * (2 * 4 - 1) * (2 * 3 - 1)
+    table = jnp.asarray(rng.standard_normal((size, h)), jnp.float32)
+    rel = relative_position_index(window)
+    n = rel.shape[0]
+    ref = table[rel.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1)
+    out = expand_bias_table(table, window)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    ct = jnp.asarray(rng.standard_normal((h, n, n)), jnp.float32)
+    g_new = jax.grad(lambda t: (expand_bias_table(t, window) * ct).sum())(table)
+    g_ref = jax.grad(
+        lambda t: (
+            t[rel.reshape(-1)].reshape(n, n, h).transpose(2, 0, 1) * ct
+        ).sum()
+    )(table)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
