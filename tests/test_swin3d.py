@@ -205,3 +205,54 @@ def test_expand_bias_table_matches_gather():
     )(table)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_patch_merging_conv_form_matches_concat_oracle():
+    """The strided-conv PatchMerging must equal concat -> LN -> Dense on the
+    same params (values and gradients)."""
+    import numpy as np
+    from flax import linen as nn
+    from vsn_tpu.models.swin3d import PatchMerging3D, _merge_concat
+
+    rng = np.random.default_rng(0)
+    b, d, h, w, c = 2, 6, 4, 6, 8
+    x = jnp.asarray(rng.standard_normal((b, d, h, w, c)), jnp.float32)
+
+    merge = PatchMerging3D()
+    variables = merge.init(jax.random.key(0), x)
+    p = variables["params"]
+    # randomize params so gamma/beta actually matter
+    p = jax.tree.map(
+        lambda l: l + 0.1 * jnp.asarray(
+            np.random.default_rng(1).standard_normal(l.shape), l.dtype
+        ),
+        p,
+    )
+    out = merge.apply({"params": p}, x)
+
+    def oracle(xx, pp):
+        z = _merge_concat(xx)
+        zn = (z - z.mean(-1, keepdims=True)) * jax.lax.rsqrt(
+            z.var(-1, keepdims=True) + 1e-5
+        )
+        y = zn * pp["norm"]["scale"] + pp["norm"]["bias"]
+        return y @ pp["reduction"]["kernel"]
+
+    ref = oracle(x, p)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+    ct = jnp.asarray(rng.standard_normal(ref.shape), jnp.float32)
+    g_new = jax.grad(
+        lambda pp: (merge.apply({"params": pp}, x) * ct).sum()
+    )(p)
+    g_ref = jax.grad(lambda pp: (oracle(x, pp) * ct).sum())(p)
+    for path, leaf in jax.tree.leaves_with_path(g_new):
+        ref_leaf = dict(jax.tree.leaves_with_path(g_ref))[path]
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(ref_leaf),
+                                   rtol=2e-3, atol=2e-3, err_msg=str(path))
+
+    # odd dims exercise the pad path
+    x_odd = jnp.asarray(rng.standard_normal((1, 5, 4, 3, 8)), jnp.float32)
+    v2 = merge.init(jax.random.key(2), x_odd)
+    assert merge.apply(v2, x_odd).shape == (1, 3, 2, 2, 16)

@@ -661,9 +661,36 @@ class SwinBlock3D(nn.Module):
         return x
 
 
+# Reference part order for the 8-neighbor concat (swin_transformer_3d.py:
+# 546-572: x0..x7) and its inverse lookup by (dz, dy, dx) offset.
+_MERGE_PARTS = (
+    (0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
+    (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1),
+)
+_MERGE_PERM_LEX = np.argsort([p[0] * 4 + p[1] * 2 + p[2]
+                              for p in _MERGE_PARTS])  # lex (dz,dy,dx) -> p
+
+
 class PatchMerging3D(nn.Module):
     """8-neighbor concat -> LN -> Linear(8C -> 2C)
-    (reference swin_transformer_3d.py:546-572)."""
+    (reference swin_transformer_3d.py:546-572).
+
+    TPU formulation: LN-of-concat distributes into a strided conv. With
+    z = concat(neighbors) [8C], mu/var its mean/variance, gamma/beta the LN
+    affine and W the reduction kernel:
+
+        LN(z) @ W = rstd * (z (*) gamma) @ W - rstd * mu * (gamma @ W)
+                    + beta @ W
+                  = rstd * Conv3d(x, diag(gamma) W; k=2, s=2)
+                    - rstd * mu * (gamma @ W) + beta @ W
+
+    and mu / E[z^2] are 2x2x2xC block means (one fused reshape-reduce).
+    This removes the 8-way concat's 8-D transpose relayouts (~0.4-1.6 ms
+    per fusion in the device trace) and rides XLA's conv kernels instead;
+    the earlier reshape+transpose+slice form is kept as the test oracle
+    (tests/test_swin3d.py). LayerNorm only; other NORM_LAYER options take
+    the concat path. Param tree unchanged (norm/scale, norm/bias,
+    reduction/kernel)."""
 
     norm_layer: Optional[str] = None
     dtype: jnp.dtype = jnp.float32
@@ -675,28 +702,52 @@ class PatchMerging3D(nn.Module):
         if any(p[1] for p in pads):
             x = jnp.pad(x, [(0, 0), *pads, (0, 0)])
             d, h, w = x.shape[1:4]
-        # 8 parity-offset sub-grids, concatenated channelwise in the
-        # reference's order (x0..x7). Formulated as reshape+transpose plus
-        # tiny last-dim slices instead of strided spatial slices: the
-        # strided form's backward (scatter-add over 8 interleaved views)
-        # generates a kernel that faults the TPU worker at stage-1 shapes
-        # and is slow everywhere; this form is pure relayout.
-        x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
-        x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # [b,d2,h2,w2, 2,2,2, c]
-        parts = [
-            x[:, :, :, :, dz, dy, dx, :]
-            for dz, dy, dx in (
-                (0, 0, 0), (1, 0, 0), (0, 1, 0), (0, 0, 1),
-                (1, 1, 0), (1, 0, 1), (0, 1, 1), (1, 1, 1),
-            )
-        ]
-        x = jnp.concatenate(parts, axis=-1)
-        x = make_norm(self.norm_layer, self.dtype)(name="norm")(x)
-        x = nn.Dense(
-            2 * c, use_bias=False, dtype=self.dtype,
+
+        if self.norm_layer not in (None, False, "nn.LayerNorm", "LayerNorm"):
+            x = _merge_concat(x)
+            x = make_norm(self.norm_layer, self.dtype)(name="norm")(x)
+            return nn.Dense(
+                2 * c, use_bias=False, dtype=self.dtype,
+                kernel_init=trunc_normal_init(0.02), name="reduction",
+            )(x)
+
+        gamma, beta = _NormParams(8 * c, name="norm")()
+        kernel, _ = _DenseParams(
+            8 * c, 2 * c, use_bias=False,
             kernel_init=trunc_normal_init(0.02), name="reduction",
-        )(x)
-        return x
+        )()
+
+        xf = x.astype(jnp.float32)
+        xr = xf.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+        mu = xr.mean(axis=(2, 4, 6, 7))                  # [b, d2, h2, w2]
+        msq = (xr * xr).mean(axis=(2, 4, 6, 7))
+        rstd = jax.lax.rsqrt(jnp.maximum(msq - mu * mu, 0.0) + 1e-5)
+
+        wg = gamma[:, None] * kernel                     # [8C, 2C] f32
+        conv_w = wg.reshape(8, c, 2 * c)[_MERGE_PERM_LEX].reshape(
+            2, 2, 2, c, 2 * c
+        )
+        conv = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), conv_w.astype(self.dtype),
+            window_strides=(2, 2, 2), padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            preferred_element_type=jnp.float32,
+        )                                                 # [b,d2,h2,w2,2C]
+        gw = gamma @ kernel                               # [2C]
+        bw = beta @ kernel                                # [2C]
+        out = (
+            rstd[..., None] * (conv - mu[..., None] * gw) + bw
+        )
+        return out.astype(self.dtype)
+
+
+def _merge_concat(x: jax.Array) -> jax.Array:
+    """The reference's 8-part channel concat (oracle / non-LN norms)."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)  # [b,d2,h2,w2, 2,2,2, c]
+    parts = [x[:, :, :, :, dz, dy, dx, :] for dz, dy, dx in _MERGE_PARTS]
+    return jnp.concatenate(parts, axis=-1)
 
 
 class BasicLayer3D(nn.Module):
