@@ -832,6 +832,53 @@ class BasicLayer3D(nn.Module):
         return x
 
 
+class _PatchEmbedMatmul(nn.Module):
+    """Conv3d(k = stride = patch) expressed as patchify + matmul.
+
+    Declares nn.Conv-compatible params (kernel [kd, kh, kw, Cin, E] DHWIO +
+    bias [E]); the contraction runs as [B*N, kd*kh*kw*Cin] @ [., E] on the
+    MXU. A nothing-saveable jax.checkpoint recomputes the patchify relayout
+    in backward so no padded patchified copy of the batch is kept alive
+    (the round-1 OOM mode inside the grad-accumulation scan)."""
+
+    patch_size: Tuple[int, int, int]
+    embed_dim: int
+    in_channels: int = 1
+    kernel_init: object = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kd, kh, kw = self.patch_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (kd, kh, kw, cin, self.embed_dim),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.embed_dim,),
+            jnp.float32,
+        )
+        dt = self.dtype
+
+        def embed(xx, w, b2):
+            bsz, d, h, w_sp, _ = xx.shape
+            gd, gh, gw = d // kd, h // kh, w_sp // kw
+            xp = xx.reshape(bsz, gd, kd, gh, kh, gw, kw, cin)
+            xp = xp.transpose(0, 1, 3, 5, 2, 4, 6, 7).reshape(
+                bsz, gd, gh, gw, kd * kh * kw * cin
+            )
+            y = jnp.dot(
+                xp.astype(dt), w.reshape(-1, self.embed_dim).astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+            return (y + b2).astype(dt)
+
+        return jax.checkpoint(
+            embed, policy=jax.checkpoint_policies.nothing_saveable
+        )(x, kernel, bias)
+
+
 class SwinTransformer3D(nn.Module):
     """Swin-3D classifier (reference swin_transformer_3d.py:575-785)."""
 
@@ -878,20 +925,22 @@ class SwinTransformer3D(nn.Module):
             if self.enable_stable
             else trunc_normal_init(0.02)
         )
-        # Patch embed stays a Conv3d (k = stride = patch). A reshape+matmul
-        # patchify measured ~13% faster on isolated fwd+bwd, but inside the
-        # grad-accumulation scan its access pattern makes XLA's remat
-        # compression keep 16x-padded relayout copies of the whole scanned
-        # batch (2 x 13.3 GB -> HBM OOM). Conv keeps the saved-for-backward
-        # input in its native layout. Revisit if XLA's compressed-layout
-        # heuristic improves.
-        x = nn.Conv(
-            self.embed_dim,
-            kernel_size=tuple(self.patch_size),
-            strides=tuple(self.patch_size),
-            padding="VALID",
-            dtype=self.dtype,
+        # Patch embed as a patchify reshape + ONE matmul under a
+        # nothing-saveable checkpoint. The conv form paid ~7.7 ms/step
+        # (fwd + a pathological C_in=1 backward-filter) plus a ~4.9 ms
+        # input-layout copy in the device trace; the matmul form tiles the
+        # full patch onto the MXU contraction. Round 1 found the naive
+        # matmul OOMs inside the grad-accum scan (XLA kept 16x-padded
+        # patchified copies of the whole scanned batch for backward) — the
+        # checkpoint recomputes the patchify in backward instead of saving
+        # it, removing exactly those copies. Param tree matches nn.Conv
+        # (patch_embed/kernel DHWIO + bias), so checkpoints interoperate.
+        x = _PatchEmbedMatmul(
+            patch_size=tuple(self.patch_size),
+            embed_dim=self.embed_dim,
+            in_channels=self.in_channels,
             kernel_init=embed_init,
+            dtype=self.dtype,
             name="patch_embed",
         )(x)
         if self.patch_norm:
