@@ -149,3 +149,40 @@ def test_eval_step_probs():
     probs = eval_fn({"params": state.params}, jnp.ones((5, 8)))
     assert probs.shape == (5, 3)
     np.testing.assert_allclose(np.asarray(probs).sum(-1), 1.0, rtol=1e-5)
+
+
+def test_watch_gradients_metric_keys():
+    """WATCH_GRADIENTS adds per-top-level-module gradient norms
+    (reference's W&B gradient watching, train_transformer.py:2112-2120)."""
+    import numpy as np
+    from vsn_tpu.config import load_config
+    from vsn_tpu.models import build_model
+    from vsn_tpu.train.schedules import lr_wd_schedules
+    from vsn_tpu.train.step import (
+        init_train_state, make_batch_transform, make_train_step,
+    )
+
+    cfg = load_config(extra_overrides=dict(
+        ARCHITECTURE="ViT", IMG_SIZE=[8, 8, 8], RESHAPE_SIZE=False,
+        PATCH_SHAPE=[4, 4, 4], EMBED_DIM=16, DEPTH=1, HEADS=2,
+        DISEASES=["CN", "AD"], BATCH_SIZE=1, EFFECTIVE_BATCH_SIZE=2,
+        STEPS=2, LR_WARMUP=1, WD_WARMUP=1, SEED=0, FP16=False,
+        WATCH_GRADIENTS=True, STOCHASTIC_DEPTH_PROB=0.0,
+    ))
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0),
+                        jnp.zeros((1, 8, 8, 8, 1)), True)
+    state = init_train_state(cfg, params)
+    lr, wd = lr_wd_schedules(cfg)
+    step = jax.jit(make_train_step(model, cfg, lr, wd,
+                                   make_batch_transform(cfg)))
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.standard_normal((1, 2, 8, 8, 8, 1)).astype(np.float16),
+        "label": np.eye(2, dtype=np.float32)[rng.integers(0, 2, (1, 2))],
+    }
+    _, m = step(state, batch, jax.random.key(1))
+    watched = [k for k in m if k.startswith("grad_norm/")]
+    assert watched, list(m)
+    for k in watched:
+        assert np.isfinite(float(m[k]))

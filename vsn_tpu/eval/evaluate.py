@@ -207,6 +207,29 @@ def evaluate_checkpoint(
     out_od = output_dir / f"prediction_{stem}_od.csv"
     out_metrics = output_dir / f"metrics_{stem}.json"
 
+    # per-checkpoint file log handler (reference eval_transformer.py:159-188)
+    handler = logging.FileHandler(output_dir / f"eval_{stem}.log")
+    handler.setFormatter(
+        logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s")
+    )
+    log.addHandler(handler)
+    try:
+        return _evaluate_checkpoint_inner(
+            checkpoint_path, csv_dir, cache_dir, output_dir, eval_csv,
+            use_tta, batch_size, n_bootstrap, skip_if_exists, model_index,
+            seed, resident_cache, stem, out_id, out_od, out_metrics,
+        )
+    finally:
+        log.removeHandler(handler)
+        handler.close()
+
+
+def _evaluate_checkpoint_inner(
+    checkpoint_path, csv_dir, cache_dir, output_dir, eval_csv, use_tta,
+    batch_size, n_bootstrap, skip_if_exists, model_index, seed,
+    resident_cache, stem, out_id, out_od, out_metrics,
+):
+
     if skip_if_exists and out_id.exists() and (
         eval_csv is None or out_od.exists()
     ):

@@ -290,6 +290,13 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
             "wd": wd,
             "skipped": was_skipped,
         }
+        if cfg.get("WATCH_GRADIENTS", False):
+            # gradient watching (reference w.watch(log="gradients"),
+            # train_transformer.py:2112-2120): per-top-level-module gradient
+            # norms ride in the metric dict — static keys, a few scalar
+            # reductions on device
+            for mod_name, sub in grads.items():
+                metrics[f"grad_norm/{mod_name}"] = optim.global_norm(sub)
         return new_state, metrics
 
     return train_step

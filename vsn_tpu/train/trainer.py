@@ -322,6 +322,9 @@ def train_fold(
                 "wd": float(train_m["wd"]),
                 "grad_norm": float(train_m["grad_norm"]),
                 "skipped_steps": int(state.skipped),
+                # per-module gradient norms when WATCH_GRADIENTS is on
+                **{k: float(v) for k, v in train_m.items()
+                   if k.startswith("grad_norm/")},
                 **{f"val_{k}": v for k, v in val_metrics.items()},
             }
             for k, v in row.items():
@@ -393,10 +396,20 @@ def train_fold(
         )
 
     tracer.close()
+    # define_metric-style extremum summaries (reference
+    # train_transformer.py:2388-2396: val metrics tracked as max, loss min)
+    extrema = {}
+    for k, vals in history.items():
+        if k.startswith("val_") and vals:
+            if "loss" in k:
+                extrema[f"{k}_min"] = float(np.min(vals))
+            else:
+                extrema[f"{k}_max"] = float(np.max(vals))
     tracker.set_summary(
         steps=step, stopped_early=stopped_early, skipped=int(state.skipped),
         best_metric=best_tracker.best[0] if best_tracker.best else None,
         step_time=timer.summary(skip_warmup=2),
+        **extrema,
     )
     tracker.finish()
     saver.close()
