@@ -727,12 +727,14 @@ class PatchMerging3D(nn.Module):
         conv_w = wg.reshape(8, c, 2 * c)[_MERGE_PERM_LEX].reshape(
             2, 2, 2, c, 2 * c
         )
+        # output dtype = model dtype (like the Dense it replaces); a f32
+        # preferred_element_type would make the VJP's transpose conv see
+        # mixed bf16/f32 operands, which lax.conv rejects
         conv = jax.lax.conv_general_dilated(
             x.astype(self.dtype), conv_w.astype(self.dtype),
             window_strides=(2, 2, 2), padding="VALID",
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
-        )                                                 # [b,d2,h2,w2,2C]
+        ).astype(jnp.float32)                             # [b,d2,h2,w2,2C]
         gw = gamma @ kernel                               # [2C]
         bw = beta @ kernel                                # [2C]
         out = (
