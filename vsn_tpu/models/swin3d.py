@@ -24,7 +24,9 @@ TPU-first design:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+import functools
+import os
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -195,6 +197,186 @@ def shifted_window_mask(
     region = shifted_window_region_ids(dims, window, shift)
     diff = region[:, :, None] != region[:, None, :]
     return np.where(diff, -100.0, 0.0).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Packed ("compressed") window layout for window-padded stages
+# ---------------------------------------------------------------------------
+#
+# When the token grid does not divide by the window (Swin-T stage 3:
+# grid (9,11,9) vs window (6,7,6)), the reference pads to window multiples
+# and runs attention/MLP on every padded token — 2016 tokens where 891 are
+# real, 2.26x wasted FLOPs on the stage (swin_transformer_3d.py:457-461).
+# The packed layout instead bin-packs the REAL tokens of all true windows
+# into ceil(real/N) full-size "virtual windows" and masks cross-window
+# attention with the composite region ids the kernels already support.
+# Pack/unpack (and, for shifted blocks, the roll) are folded into one
+# static 0/1 permutation matrix applied as a matmul — arbitrary gathers
+# are prohibitively slow on TPU, one-hot matmuls ride the MXU.
+#
+# Numeric note (documented deviation): the reference lets boundary windows
+# attend to zero-padding tokens (no mask for unshifted blocks, pad bands
+# share region ids with real tokens in shifted ones). Here pad tokens are
+# masked out of attention entirely — in BOTH the packed-fused and the
+# padded-unfused paths, which therefore agree with each other but differ
+# microscopically from the reference at window-boundary tokens of padded
+# stages.
+
+
+def _axis_region_labels(size: int, win: int, sh: int) -> np.ndarray:
+    """Per-axis region label in rolled space: 0 untouched, 1 wrapped window
+    tail, 2 wrapped shift tail (same rule as shifted_window_region_ids)."""
+    r = np.zeros(size, np.int64)
+    if sh > 0:
+        r[size - win: size - sh] = 1
+        r[size - sh:] = 2
+    return r
+
+
+def _rolled_grid(dims, window, shift):
+    """Trace-time geometry of the rolled, window-padded grid.
+
+    Returns (real [Dp,Hp,Wp] bool, flat_src, region, win_id, winpos), where
+    position p of the rolled padded grid holds source voxel
+    ((p + shift) mod padded) — real iff that source coord is inside
+    ``dims`` — with its flat real-grid index, composite shift-region id,
+    true-window index and lexicographic in-window position.
+    """
+    d, h, w = dims
+    wd, wh, ww = window
+    dp, hp, wp = (-(-s // ws) * ws for s, ws in zip(dims, window))
+    pz, py, px = np.arange(dp), np.arange(hp), np.arange(wp)
+    zc, yc, xc = (pz + shift[0]) % dp, (py + shift[1]) % hp, (px + shift[2]) % wp
+    real = (
+        (zc < d)[:, None, None]
+        & (yc < h)[None, :, None]
+        & (xc < w)[None, None, :]
+    )
+    flat_src = (
+        zc[:, None, None] * (h * w) + yc[None, :, None] * w + xc[None, None, :]
+    )
+    region = (
+        _axis_region_labels(dp, wd, shift[0])[pz][:, None, None] * 9
+        + _axis_region_labels(hp, wh, shift[1])[py][None, :, None] * 3
+        + _axis_region_labels(wp, ww, shift[2])[px][None, None, :]
+    )
+    nwy, nwx = hp // wh, wp // ww
+    win_id = (
+        (pz // wd)[:, None, None] * (nwy * nwx)
+        + (py // wh)[None, :, None] * nwx
+        + (px // ww)[None, None, :]
+    )
+    winpos = (
+        (pz % wd)[:, None, None] * (wh * ww)
+        + (py % wh)[None, :, None] * ww
+        + (px % ww)[None, None, :]
+    )
+    return real, flat_src, region, win_id, winpos
+
+
+class PackedWindowLayout(NamedTuple):
+    perm: np.ndarray    # [V, N] int32 — flat real-token index per slot, -1 pad
+    winpos: np.ndarray  # [V, N] int32 — lex in-window position per slot, -1 pad
+    ids: np.ndarray     # [V, N] int32 — win_id * 27 + region per slot, -1 pad
+
+
+@functools.lru_cache(maxsize=None)
+def packed_window_layout(
+    dims: Tuple[int, int, int],
+    window: Tuple[int, int, int],
+    shift: Tuple[int, int, int],
+) -> PackedWindowLayout:
+    """Bin-pack the real tokens of every true window into full-size virtual
+    windows (first-fit decreasing; each true window stays whole inside one
+    virtual window so masked window attention covers exactly its pairs)."""
+    n = window[0] * window[1] * window[2]
+    real, flat_src, region, win_id, winpos = _rolled_grid(dims, window, shift)
+
+    r = real.ravel()
+    order = np.lexsort((winpos.ravel()[r], win_id.ravel()[r]))
+    src = flat_src.ravel()[r][order]
+    reg = region.ravel()[r][order]
+    wid = win_id.ravel()[r][order]
+    pos = winpos.ravel()[r][order]
+
+    uniq, starts, counts = np.unique(wid, return_index=True, return_counts=True)
+    bins: list[list[int]] = []   # window indices (into uniq) per bin
+    room: list[int] = []
+    for k in np.argsort(-counts, kind="stable"):
+        size = int(counts[k])
+        for b, space in enumerate(room):
+            if space >= size:
+                bins[b].append(k)
+                room[b] -= size
+                break
+        else:
+            bins.append([k])
+            room.append(n - size)
+
+    v = len(bins)
+    perm = np.full((v, n), -1, np.int32)
+    wpos = np.full((v, n), -1, np.int32)
+    ids = np.full((v, n), -1, np.int32)
+    for b, ks in enumerate(bins):
+        at = 0
+        for k in ks:
+            s, cnt = int(starts[k]), int(counts[k])
+            sl = slice(at, at + cnt)
+            perm[b, sl] = src[s:s + cnt]
+            wpos[b, sl] = pos[s:s + cnt]
+            ids[b, sl] = int(uniq[k]) * 27 + reg[s:s + cnt]
+            at += cnt
+    return PackedWindowLayout(perm, wpos, ids)
+
+
+@functools.lru_cache(maxsize=None)
+def packed_window_onehots(dims, window, shift):
+    """(P [V, N, L], S [V, N, N]) float32 0/1 selection matrices: P maps the
+    flat real-token stream into packed slots (pack = einsum('vnl,blc->vbnc'),
+    unpack = its transpose — exact inverses since slots are disjoint); S maps
+    full-window positions onto packed slots (per-chunk rel-pos bias =
+    S_v @ bias @ S_v^T)."""
+    lay = packed_window_layout(dims, window, shift)
+    v, n = lay.perm.shape
+    l = dims[0] * dims[1] * dims[2]
+    p = np.zeros((v, n, l), np.float32)
+    s = np.zeros((v, n, n), np.float32)
+    vi, ni = np.nonzero(lay.perm >= 0)
+    p[vi, ni, lay.perm[vi, ni]] = 1.0
+    s[vi, ni, lay.winpos[vi, ni]] = 1.0
+    return p, s
+
+
+@functools.lru_cache(maxsize=None)
+def packing_profitable(dims, window) -> bool:
+    """Packed layout pays off when the padded grid computes >=1.3x the
+    packed token count (virtual windows are full-size N)."""
+    if all(dim % ws == 0 for dim, ws in zip(dims, window)):
+        return False
+    n = window[0] * window[1] * window[2]
+    padded = 1
+    for dim, ws in zip(dims, window):
+        padded *= -(-dim // ws) * ws
+    v = packed_window_layout(tuple(dims), tuple(window), (0, 0, 0)).perm.shape[0]
+    return padded >= 1.3 * v * n
+
+
+def padded_window_region_ids(
+    dims: Tuple[int, int, int],
+    window: Tuple[int, int, int],
+    shift: Tuple[int, int, int],
+) -> np.ndarray:
+    """[nW, N] region ids on the window-PADDED grid with -1 at slots whose
+    source voxel is padding (``dims`` are the real token dims). Used by the
+    padded (unfused) path so pad tokens are masked out of attention — see
+    the deviation note above."""
+    real, _, region, _, _ = _rolled_grid(dims, window, shift)
+    grid = np.where(real, region, -1)
+    wd, wh, ww = window
+    dp, hp, wp = grid.shape
+    grid = grid.reshape(dp // wd, wd, hp // wh, wh, wp // ww, ww)
+    grid = grid.transpose(0, 2, 4, 1, 3, 5).reshape(-1, wd * wh * ww)
+    return grid.astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -443,6 +625,26 @@ class WindowAttention3D(nn.Module):
         return out
 
 
+def fused_block_gate(use_pallas, post_norm, layer_scale, norm_layer,
+                     dropout, attention_dropout, c, window, num_heads) -> bool:
+    """Shared static gate for the fully-fused block kernels (SwinBlock3D
+    delegates here; BasicLayer3D consults it to decide whether the stage may
+    skip window padding in favor of the packed layout)."""
+    from vsn_tpu.ops.swin_block_kernels import attn_half_vmem_ok
+
+    n = window[0] * window[1] * window[2]
+    return (
+        use_pallas
+        and not post_norm
+        and not layer_scale
+        and norm_layer in (None, False, "nn.LayerNorm", "LayerNorm")
+        and dropout == 0.0
+        and attention_dropout == 0.0
+        and attn_half_vmem_ok(c, n, num_heads)
+        and jax.devices()[0].platform == "tpu"
+    )
+
+
 class SwinBlock3D(nn.Module):
     """One (shifted-)window transformer block
     (reference swin_transformer_3d.py:202-382)."""
@@ -506,7 +708,7 @@ class SwinBlock3D(nn.Module):
             enable_stable=self.enable_stable,
             use_pallas=self.use_pallas,
             name="attn",
-        )(windows, region_ids if shifted else None, deterministic)
+        )(windows, region_ids, deterministic)
         attn_out = window_reverse(attn_windows, self.window, (d, h, w))
         if shifted:
             attn_out = jnp.roll(attn_out, shift=self.shift, axis=(1, 2, 3))
@@ -539,18 +741,10 @@ class SwinBlock3D(nn.Module):
         LayerNorm, zero dropout, no LayerScale, VMEM fits, on TPU. The
         fused path declares a bit-identical param tree, so mixed
         init/apply environments (e.g. CPU init, TPU apply) interoperate."""
-        from vsn_tpu.ops.swin_block_kernels import attn_half_vmem_ok
-
-        n = self.window[0] * self.window[1] * self.window[2]
-        return (
-            self.use_pallas
-            and not self.post_norm
-            and not self.layer_scale
-            and self.norm_layer in (None, False, "nn.LayerNorm", "LayerNorm")
-            and self.dropout == 0.0
-            and self.attention_dropout == 0.0
-            and attn_half_vmem_ok(c, n, self.num_heads)
-            and jax.devices()[0].platform == "tpu"
+        return fused_block_gate(
+            self.use_pallas, self.post_norm, self.layer_scale,
+            self.norm_layer, self.dropout, self.attention_dropout,
+            c, tuple(self.window), self.num_heads,
         )
 
     def _residual_gains(self, b: int, deterministic: bool, name: str):
@@ -603,29 +797,65 @@ class SwinBlock3D(nn.Module):
         )()
         bias = expand_bias_table(bias_table, tuple(self.window))  # [H, N, N]
 
-        # Residual add commutes with roll and window partition (both are
-        # permutations), so the kernel adds its own rolled/partitioned
-        # input as the shortcut and we invert the permutation after.
-        h_in = x
-        if shifted:
-            h_in = jnp.roll(
-                h_in, shift=(-self.shift[0], -self.shift[1], -self.shift[2]),
-                axis=(1, 2, 3),
-            )
-        windows = window_partition(h_in, self.window)  # raw, pre-norm
-        if region_ids is None or not shifted:
-            ids = jnp.zeros((1, n), jnp.int32)
-        else:
-            ids = region_ids.astype(jnp.int32)
         gf1, gb1 = self._residual_gains(b, deterministic, "res1")
-        out_windows = fused_attn_half(
-            windows, lng1, lnb1, wqkv, bqkv, bias, ids, wproj, bproj,
-            gf1, gb1, scale, self.num_heads, lam,
+        divisible = all(
+            dim % ws == 0 for dim, ws in zip((d, h, w), self.window)
         )
-        x = window_reverse(out_windows, self.window, (d, h, w))
-        if shifted:
-            x = jnp.roll(x, shift=self.shift, axis=(1, 2, 3))
-        x = x.astype(self.dtype)
+        if divisible:
+            # Residual add commutes with roll and window partition (both are
+            # permutations), so the kernel adds its own rolled/partitioned
+            # input as the shortcut and we invert the permutation after.
+            h_in = x
+            if shifted:
+                h_in = jnp.roll(
+                    h_in,
+                    shift=(-self.shift[0], -self.shift[1], -self.shift[2]),
+                    axis=(1, 2, 3),
+                )
+            windows = window_partition(h_in, self.window)  # raw, pre-norm
+            if region_ids is None:
+                ids = jnp.zeros((1, n), jnp.int32)
+            else:
+                ids = region_ids.astype(jnp.int32)
+            out_windows = fused_attn_half(
+                windows, lng1, lnb1, wqkv, bqkv, bias, ids, wproj, bproj,
+                gf1, gb1, scale, self.num_heads, lam,
+            )
+            x = window_reverse(out_windows, self.window, (d, h, w))
+            if shifted:
+                x = jnp.roll(x, shift=self.shift, axis=(1, 2, 3))
+            x = x.astype(self.dtype)
+        else:
+            # Packed layout: real tokens bin-packed into V full-size virtual
+            # windows; pack/unpack (incl. the roll for shifted blocks) is ONE
+            # one-hot matmul each way, cross-window pairs are masked via the
+            # composite ids, and the rel-pos bias is gathered per chunk with
+            # selection matmuls. Cuts stage-3 tokens 2016 -> 1008 and removes
+            # its rolls entirely. See the layout-module comment for the
+            # pad-masking deviation note.
+            shift3 = tuple(self.shift) if shifted else (0, 0, 0)
+            geom = ((d, h, w), tuple(self.window), shift3)
+            lay = packed_window_layout(*geom)
+            pmat, smat = packed_window_onehots(*geom)
+            pk = jnp.asarray(pmat, x.dtype)                # [V, N, L]
+            sel = jnp.asarray(smat, jnp.float32)           # [V, N, N]
+            pids = jnp.asarray(lay.ids)                    # [V, N]
+            bias_packed = jnp.einsum(
+                "vip,hpq,vjq->vhij", sel, bias, sel,
+                preferred_element_type=jnp.float32,
+            )
+            x_flat = x.reshape(b, d * h * w, c)
+            packed = jnp.einsum("vnl,blc->vbnc", pk, x_flat)
+            outs = [
+                fused_attn_half(
+                    packed[v], lng1, lnb1, wqkv, bqkv, bias_packed[v],
+                    pids[v][None], wproj, bproj, gf1, gb1, scale,
+                    self.num_heads, lam,
+                )
+                for v in range(pk.shape[0])
+            ]
+            x = jnp.einsum("vnl,vbnc->blc", pk, jnp.stack(outs))
+            x = x.reshape(b, d, h, w, c).astype(self.dtype)
 
         hidden = int(c * self.mlp_ratio)
         mlp_init = (
@@ -638,13 +868,25 @@ class SwinBlock3D(nn.Module):
             dim=c, hidden=hidden, kernel_init=mlp_init, name="mlp"
         )()
         gf2, gb2 = self._residual_gains(b, deterministic, "res2")
-        t = b * d * h * w
-        tile = mlp_tile_rows(t // b)
+        rows = d * h * w
+        tile, pad_rows = mlp_tile_rows(rows), 0
+        if not tile:
+            # Row count not divisible by 8 (unpadded packed-stage grids):
+            # pad each sample's rows to the next multiple of 8 — zero rows
+            # flow LN->MLP harmlessly and their upstream grads are zero.
+            rows8 = -(-rows // 8) * 8
+            tile, pad_rows = mlp_tile_rows(rows8), rows8 - rows
         if tile and ln_mlp_vmem_ok(c, hidden, tile):
-            flat = x.reshape(t, c)
-            x = fused_ln_mlp(
-                flat, lng2, lnb2, w1, b1, w2, b2, gf2, gb2, tile, lam
-            ).reshape(x.shape).astype(self.dtype)
+            flat = x.reshape(b, rows, c)
+            if pad_rows:
+                flat = jnp.pad(flat, ((0, 0), (0, pad_rows), (0, 0)))
+            out = fused_ln_mlp(
+                flat.reshape(b * (rows + pad_rows), c),
+                lng2, lnb2, w1, b1, w2, b2, gf2, gb2, tile, lam,
+            ).reshape(b, rows + pad_rows, c)
+            if pad_rows:
+                out = out[:, :rows]
+            x = out.reshape(x.shape).astype(self.dtype)
         else:
             # fused MLP kernel not applicable; same math via XLA on the
             # declared params
@@ -785,24 +1027,47 @@ class BasicLayer3D(nn.Module):
             (d, h, w), self.window, tuple(ws // 2 for ws in self.window)
         )
         pad = [(ws - dim % ws) % ws for dim, ws in zip((d, h, w), window)]
-        if any(pad):
+        shifted = any(s > 0 for s in shift)
+        use_packed = (
+            any(pad)
+            and packing_profitable((d, h, w), window)
+            and fused_block_gate(
+                self.use_pallas, self.post_norm, self.layer_scale,
+                self.norm_layer, self.dropout, self.attention_dropout,
+                c, window, self.num_heads,
+            )
+        )
+
+        ids_noshift = ids_shift = None
+        if use_packed:
+            # no stage padding: blocks derive the packed geometry (windows,
+            # ids, bias selection) from their static shapes
+            pass
+        elif any(pad):
             x = jnp.pad(
                 x, [(0, 0), (0, pad[0]), (0, pad[1]), (0, pad[2]), (0, 0)]
             )
-        dims_p = (d + pad[0], h + pad[1], w + pad[2])
-
-        if any(s > 0 for s in shift):
-            region_ids = jnp.asarray(
-                shifted_window_region_ids(dims_p, window, shift)
+            # pad tokens are masked out of attention in EVERY block (see the
+            # packed-layout deviation note; keeps padded and packed paths
+            # numerically interchangeable)
+            ids_noshift = jnp.asarray(
+                padded_window_region_ids((d, h, w), window, (0, 0, 0))
             )
-        else:
-            region_ids = None
+            if shifted:
+                ids_shift = jnp.asarray(
+                    padded_window_region_ids((d, h, w), window, shift)
+                )
+        elif shifted:
+            ids_shift = jnp.asarray(
+                shifted_window_region_ids((d, h, w), window, shift)
+            )
 
         block_cls = SwinBlock3D
         if self.use_checkpoint:
             block_cls = nn.remat(SwinBlock3D, static_argnums=(3,))
         for i in range(self.depth):
             blk_shift = tuple(0 for _ in window) if i % 2 == 0 else shift
+            region_ids = ids_noshift if i % 2 == 0 else ids_shift
             x = block_cls(
                 use_pallas=self.use_pallas,
                 num_heads=self.num_heads,
@@ -927,24 +1192,33 @@ class SwinTransformer3D(nn.Module):
             if self.enable_stable
             else trunc_normal_init(0.02)
         )
-        # Patch embed as a patchify reshape + ONE matmul under a
-        # nothing-saveable checkpoint. The conv form paid ~7.7 ms/step
-        # (fwd + a pathological C_in=1 backward-filter) plus a ~4.9 ms
-        # input-layout copy in the device trace; the matmul form tiles the
-        # full patch onto the MXU contraction. Round 1 found the naive
-        # matmul OOMs inside the grad-accum scan (XLA kept 16x-padded
-        # patchified copies of the whole scanned batch for backward) — the
-        # checkpoint recomputes the patchify in backward instead of saving
-        # it, removing exactly those copies. Param tree matches nn.Conv
-        # (patch_embed/kernel DHWIO + bias), so checkpoints interoperate.
-        x = _PatchEmbedMatmul(
-            patch_size=tuple(self.patch_size),
-            embed_dim=self.embed_dim,
-            in_channels=self.in_channels,
-            kernel_init=embed_init,
-            dtype=self.dtype,
-            name="patch_embed",
-        )(x)
+        # Patch embed: nn.Conv by default. The patchify-matmul form
+        # (_PatchEmbedMatmul, VSN_PATCH_EMBED=matmul — same param tree) is
+        # +13% on the embed in isolation (the conv pays a pathological
+        # C_in=1 backward-filter plus a ~4.9 ms input-layout copy), but
+        # inside the grad-accum scan the patchify reshape forces XLA to
+        # re-lay-out the WHOLE scanned batch with the micro dim in the
+        # lanes: f16[accum, micro=32, D, H, W, 1] copies pad 32->128 (4x,
+        # ~3.3 GB each for image+image2) and the full config OOMs
+        # (measured r2: micro 32 + SAM + MixUp = 15.8/15.75 GB HBM). A
+        # nothing-saveable checkpoint does NOT remove those copies — they
+        # are input-layout copies, not saved activations. Step-level A/B:
+        # conv 39.9 vol/s vs matmul 36.4 (and OOM with the packed layout).
+        if os.environ.get("VSN_PATCH_EMBED", "conv") != "matmul":
+            x = nn.Conv(
+                self.embed_dim, kernel_size=tuple(self.patch_size),
+                strides=tuple(self.patch_size), padding="VALID",
+                kernel_init=embed_init, dtype=self.dtype, name="patch_embed",
+            )(x)
+        else:
+            x = _PatchEmbedMatmul(
+                patch_size=tuple(self.patch_size),
+                embed_dim=self.embed_dim,
+                in_channels=self.in_channels,
+                kernel_init=embed_init,
+                dtype=self.dtype,
+                name="patch_embed",
+            )(x)
         if self.patch_norm:
             x = make_norm(self.norm_layer, self.dtype)(name="patch_embed_norm")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)

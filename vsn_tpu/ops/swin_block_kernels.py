@@ -119,21 +119,22 @@ def _mm_dtype(x_dtype) -> jnp.dtype:
     return jnp.bfloat16 if x_dtype == jnp.bfloat16 else jnp.float32
 
 
-def _slot_gains(g_ref, pid, wb, nw):
-    """Per-slot gain scalars for a window-batched program.
+def _slot_gain_rows(g_ref, pid, wb, nw, n):
+    """Per-row gain for a window-batched program's flat [WB*N, C] tokens.
 
     Windows are sample-major (bw = B * nW). When wb divides nW every slot of
     a program belongs to one sample -> a single scalar. Otherwise (nW == 1,
-    slots span samples — stage 4) each slot indexes its own sample.
+    slots span samples — stage 4) each slot indexes its own sample and the
+    gain becomes a [WB*N, 1] row vector.
     """
     if nw % wb == 0:
         return g_ref[pid * wb // nw, 0]
     vals = [g_ref[(pid * wb + k) // nw, 0] for k in range(wb)]
-    return jnp.stack(vals).reshape(wb, 1, 1)
+    return jnp.repeat(jnp.stack(vals), n)[:, None]
 
 
-def _slot_masks(ids_ref, shared_ids, wb):
-    """Additive region mask: [N, N] (shared or wb=1) or [WB, N, N].
+def _slot_mask_list(ids_ref, shared_ids, wb):
+    """Per-slot additive region masks, each [N, N].
 
     ids_ref block is [1, wb, N] (3D so the Mosaic last-two-dims tiling rule
     is satisfied for any wb). Intentional numeric difference vs the unfused
@@ -141,42 +142,37 @@ def _slot_masks(ids_ref, shared_ids, wb):
     unfused path) add -100.0 — softmax weights underflow to ~0 either way,
     parity tests pass at 1e-4, and -1e9 keeps masked logits unambiguous
     after the f32 bias adds."""
-    if shared_ids or wb == 1:
-        return _mask_from_ids(ids_ref[0, 0])
-    ids = ids_ref[0]
-    return jnp.where(
-        ids[:, :, None] != ids[:, None, :], _wa.NEG_INF, 0.0
-    ).astype(jnp.float32)
+    if shared_ids:
+        m = _mask_from_ids(ids_ref[0, 0])
+        return [m] * wb
+    return [_mask_from_ids(ids_ref[0, s]) for s in range(wb)]
 
 
 def _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt):
-    """qkv [(WB,) N, 3C] f32 -> merged-head attention output [(WB,) N, C]
-    f32, plus the per-head probability list for reuse in the backward pass.
-    Handles 2D (wb=1 fast path — measured faster than batch-1 3D dots) and
-    3D window-batched forms; ``mask`` broadcasts."""
+    """qkv [N, 3C] f32 -> merged-head attention output [N, C] f32, plus the
+    per-head probability list for reuse in the backward pass. Strictly 2D:
+    batched 3D dots measured slower than unrolled per-window 2D matmuls."""
     c = qkv.shape[-1] // 3
     d = c // n_heads
-    nd = qkv.ndim
     outs, probs = [], []
     for h in range(n_heads):
-        q = qkv[..., h * d:(h + 1) * d].astype(cdt)
-        k = qkv[..., c + h * d:c + (h + 1) * d].astype(cdt)
-        v = qkv[..., 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
-        s = _bmm(q, k, nd - 1, nd - 1) * scale              # [(WB,) N, N]
+        q = qkv[:, h * d:(h + 1) * d].astype(cdt)
+        k = qkv[:, c + h * d:c + (h + 1) * d].astype(cdt)
+        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
+        s = _mm(q, k, 1, 1) * scale                         # [N, N]
         s = s + bias_ref[h] + mask
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(_bmm(p.astype(cdt), v, nd - 1, nd - 2))
+        outs.append(_mm(p.astype(cdt), v, 1, 0))
         probs.append(p)
     return jnp.concatenate(outs, axis=-1), probs
 
 
-def _bmm(a, b, contract_a, contract_b):
-    """Matmul contracting one axis each; axis 0 is a batch dim iff 3D."""
-    batch = ((0,), (0,)) if a.ndim == 3 else ((), ())
+def _mm(a, b, contract_a, contract_b):
+    """2D matmul contracting one axis each, f32 accumulation."""
     return jax.lax.dot_general(
-        a, b, (((contract_a,), (contract_b,)), batch),
+        a, b, (((contract_a,), (contract_b,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -202,20 +198,56 @@ def _mmw(a, w, w_axis=0):
 def _attn_fwd_kernel(gf_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
                      bqkv_ref, bias_ref, wproj_ref, bproj_ref, out_ref,
                      *, scale, n_heads, lam, nw, wb, shared_ids):
+    """Window-batched flat form: LN/qkv/proj run ONCE on the [WB*N, C] token
+    matrix (amortizing program launches and growing the matmul M dim);
+    attention stays per-slot 2D matmuls in an unrolled loop (batched 3D dots
+    measured slower than 2D on Mosaic)."""
+    n = x_ref.shape[1]
     cdt = _mm_dtype(x_ref.dtype)
-    gf = _slot_gains(gf_ref, pl.program_id(0), wb, nw)
-    mask = _slot_masks(ids_ref, shared_ids, wb)
-    # wb=1 fast path stays 2D: batch-1 3D dots measured ~10% slower
-    x = (x_ref[0] if wb == 1 else x_ref[...]).astype(jnp.float32)
+    gf = _slot_gain_rows(gf_ref, pl.program_id(0), wb, nw, n)
+    masks = _slot_mask_list(ids_ref, shared_ids, wb)
+    x = x_ref[...].reshape(wb * n, -1).astype(jnp.float32)
     y, _, _ = _ln_fwd(x, lng_ref[0], lnb_ref[0])
     qkv = _mmw(y.astype(cdt), wqkv_ref[...].astype(cdt)) + bqkv_ref[0]
-    ao, _ = _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt)
+    aos = [
+        _heads_attention_fwd(
+            qkv[s * n:(s + 1) * n], bias_ref, masks[s], scale, n_heads, cdt
+        )[0]
+        for s in range(wb)
+    ]
+    ao = aos[0] if wb == 1 else jnp.concatenate(aos, axis=0)
     branch = _mmw(ao.astype(cdt), wproj_ref[...].astype(cdt)) + bproj_ref[0]
     out = lam * x + gf * branch
-    if wb == 1:
-        out_ref[0] = out.astype(out_ref.dtype)
-    else:
-        out_ref[...] = out.astype(out_ref.dtype)
+    out_ref[...] = out.reshape(x_ref.shape).astype(out_ref.dtype)
+
+
+def _heads_attention_bwd(qkv, probs, dao, bias_ref, scale, n_heads, cdt,
+                         dbias_acc):
+    """Per-window attention backward, strictly 2D. ``qkv``/``dao`` are one
+    slot's [N, 3C]/[N, C]; accumulates per-head ds into ``dbias_acc`` (a
+    list of per-head f32 [N, N] partials, or Nones on first use) and
+    returns the slot's [N, 3C] dqkv."""
+    c = dao.shape[-1]
+    d = c // n_heads
+    parts_q, parts_k, parts_v = [], [], []
+    for h in range(n_heads):
+        q = qkv[:, h * d:(h + 1) * d].astype(cdt)
+        k = qkv[:, c + h * d:c + (h + 1) * d].astype(cdt)
+        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
+        p = probs[h]
+        doh = dao[:, h * d:(h + 1) * d]
+
+        dv = _mm(p.astype(cdt), doh.astype(cdt), 0, 0)       # [N, d]
+        dp = _mm(doh.astype(cdt), v, 1, 1)                   # [N, N]
+        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        dsb = ds.astype(cdt)
+        dq = _mm(dsb, k, 1, 0) * scale
+        dk = _mm(dsb, q, 0, 0) * scale
+        dbias_acc[h] = ds if dbias_acc[h] is None else dbias_acc[h] + ds
+        parts_q.append(dq)
+        parts_k.append(dk)
+        parts_v.append(dv)
+    return jnp.concatenate(parts_q + parts_k + parts_v, axis=-1)
 
 
 def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
@@ -223,10 +255,13 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
                      dx_ref, dlng_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
                      dbias_ref, dwproj_ref, dbproj_ref,
                      *, scale, n_heads, lam, nw, wb, shared_ids):
+    """Flat-form backward mirroring ``_attn_fwd_kernel``: LN/qkv/proj grads
+    run once on the [WB*N, C] token matrix (outer products stay 2D with the
+    token axis as the contraction dim); the attention chain stays per-slot
+    2D matmuls."""
     first = pl.program_id(0) == 0
-    c = x_ref.shape[2]
-    d = c // n_heads
-    mask = _slot_masks(ids_ref, shared_ids, wb)
+    n = x_ref.shape[1]
+    masks = _slot_mask_list(ids_ref, shared_ids, wb)
 
     @pl.when(first)
     def _():
@@ -240,73 +275,46 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
 
     # --- recompute forward ---
     cdt = _mm_dtype(x_ref.dtype)
-    x = (x_ref[0] if wb == 1 else x_ref[...]).astype(jnp.float32)
+    x = x_ref[...].reshape(wb * n, -1).astype(jnp.float32)
     lng = lng_ref[0]
     y, xhat, rstd = _ln_fwd(x, lng, lnb_ref[0])
     qkv = _mmw(y.astype(cdt), wqkv_ref[...].astype(cdt)) + bqkv_ref[0]
-    ao, probs = _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt)
-    nd = qkv.ndim
-    tok_axes = tuple(range(nd - 1))
-
-    def outer_acc(a, b):
-        """Token-contracted outer product summed over slots: [.., C1] x
-        [.., C2] -> [C1, C2]."""
-        if nd == 2:
-            return jax.lax.dot_general(
-                a, b, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        return jnp.sum(_bmm(a, b, 1, 1), axis=0)
+    slot_aos, slot_probs = [], []
+    for s in range(wb):
+        ao_s, probs_s = _heads_attention_fwd(
+            qkv[s * n:(s + 1) * n], bias_ref, masks[s], scale, n_heads, cdt
+        )
+        slot_aos.append(ao_s)
+        slot_probs.append(probs_s)
+    ao = slot_aos[0] if wb == 1 else jnp.concatenate(slot_aos, axis=0)
 
     # --- backward ---
-    do_res = (do_ref[0] if wb == 1 else do_ref[...]).astype(jnp.float32)
-    do = _slot_gains(gb_ref, pl.program_id(0), wb, nw) * do_res
-    dwproj_ref[...] += outer_acc(ao.astype(cdt), do.astype(cdt))
-    dbproj_ref[0] += jnp.sum(do, axis=tok_axes)
+    do_res = do_ref[...].reshape(wb * n, -1).astype(jnp.float32)
+    do = _slot_gain_rows(gb_ref, pl.program_id(0), wb, nw, n) * do_res
+    dwproj_ref[...] += _mm(ao.astype(cdt), do.astype(cdt), 0, 0)
+    dbproj_ref[0] += jnp.sum(do, axis=0)
     dao = _mmw(do.astype(cdt), wproj_ref[...].astype(cdt), w_axis=1)
 
-    dqkv_parts_q, dqkv_parts_k, dqkv_parts_v = [], [], []
-    for h in range(n_heads):
-        q = qkv[..., h * d:(h + 1) * d].astype(cdt)
-        k = qkv[..., c + h * d:c + (h + 1) * d].astype(cdt)
-        v = qkv[..., 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
-        p = probs[h]
-        doh = dao[..., h * d:(h + 1) * d]
-
-        dv = (
-            jax.lax.dot_general(
-                p.astype(cdt), doh.astype(cdt), (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) if nd == 2 else _bmm(p.astype(cdt), doh.astype(cdt), 1, 1)
+    dbias_acc = [None] * n_heads
+    slot_dqkv = [
+        _heads_attention_bwd(
+            qkv[s * n:(s + 1) * n], slot_probs[s], dao[s * n:(s + 1) * n],
+            bias_ref, scale, n_heads, cdt, dbias_acc,
         )
-        dp = _bmm(doh.astype(cdt), v, nd - 1, nd - 1)        # [.., N, N]
-        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-        dsb = ds.astype(cdt)
-        dq = _bmm(dsb, k, nd - 1, nd - 2) * scale
-        dk = (
-            jax.lax.dot_general(
-                dsb, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) if nd == 2 else _bmm(dsb, q, 1, 1)
-        ) * scale
-        dbias_ref[h] += ds if nd == 2 else jnp.sum(ds, axis=0)
-        dqkv_parts_q.append(dq)
-        dqkv_parts_k.append(dk)
-        dqkv_parts_v.append(dv)
+        for s in range(wb)
+    ]
+    for h in range(n_heads):
+        dbias_ref[h] += dbias_acc[h]
+    dqkv = slot_dqkv[0] if wb == 1 else jnp.concatenate(slot_dqkv, axis=0)
 
-    dqkv = jnp.concatenate(
-        dqkv_parts_q + dqkv_parts_k + dqkv_parts_v, axis=-1
-    )                                                        # [.., N, 3C]
-    dwqkv_ref[...] += outer_acc(y.astype(cdt), dqkv.astype(cdt))
-    dbqkv_ref[0] += jnp.sum(dqkv, axis=tok_axes)
+    dwqkv_ref[...] += _mm(y.astype(cdt), dqkv.astype(cdt), 0, 0)
+    dbqkv_ref[0] += jnp.sum(dqkv, axis=0)
     dy = _mmw(dqkv.astype(cdt), wqkv_ref[...].astype(cdt), w_axis=1)
     dx, dg, db = _ln_bwd(dy, lng, xhat, rstd)
     dlng_ref[0] += dg
     dlnb_ref[0] += db
-    if wb == 1:
-        dx_ref[0] = (lam * do_res + dx).astype(dx_ref.dtype)
-    else:
-        dx_ref[...] = (lam * do_res + dx).astype(dx_ref.dtype)
+    dx_ref[...] = (lam * do_res + dx).reshape(x_ref.shape).astype(
+        dx_ref.dtype)
 
 
 def attn_window_batch(n_windows: int, nsamp: int, n: int, c: int,
