@@ -15,8 +15,11 @@ def test_tracker_jsonl_and_summary(tmp_path):
     t.set_summary(best=1.2)
     t.finish()
     rows = [json.loads(l) for l in open(tmp_path / "events.jsonl")]
-    assert [r["loss"] for r in rows] == [1.5, 1.2]
-    assert rows[0]["step"] == 1 and "_time" in rows[0]
+    metric_rows = [r for r in rows if r.get("kind") != "summary"]
+    assert [r["loss"] for r in metric_rows] == [1.5, 1.2]
+    assert metric_rows[0]["step"] == 1 and "_time" in metric_rows[0]
+    # finish() mirrors the summary into the metric stream as a final row
+    assert rows[-1] == {"kind": "summary", "best": 1.2}
     assert json.load(open(tmp_path / "summary.json"))["best"] == 1.2
 
 

@@ -119,18 +119,27 @@ def _mm_dtype(x_dtype) -> jnp.dtype:
     return jnp.bfloat16 if x_dtype == jnp.bfloat16 else jnp.float32
 
 
-def _slot_gain_rows(g_ref, pid, wb, nw, n):
-    """Per-row gain for a window-batched program's flat [WB*N, C] tokens.
+def _slot_gains(g_ref, pid, wb, nw):
+    """Gain scalars for a window-batched program's flat [WB*N, C] tokens.
 
     Windows are sample-major (bw = B * nW). When wb divides nW every slot of
     a program belongs to one sample -> a single scalar. Otherwise (nW == 1,
-    slots span samples — stage 4) each slot indexes its own sample and the
-    gain becomes a [WB*N, 1] row vector.
-    """
+    slots span samples — stage 4 / packed chunks) each slot indexes its own
+    sample -> a list of wb scalars, applied per-slot by ``_apply_gains``
+    (a [WB*N, 1] row-vector build needs a 2D->2D shape cast Mosaic cannot
+    lower)."""
     if nw % wb == 0:
         return g_ref[pid * wb // nw, 0]
-    vals = [g_ref[(pid * wb + k) // nw, 0] for k in range(wb)]
-    return jnp.repeat(jnp.stack(vals), n)[:, None]
+    return [g_ref[(pid * wb + k) // nw, 0] for k in range(wb)]
+
+
+def _apply_gains(gains, t, n):
+    """t [WB*N, C] scaled by a shared scalar or per-slot scalar list."""
+    if not isinstance(gains, list):
+        return gains * t
+    return jnp.concatenate(
+        [g * t[s * n:(s + 1) * n] for s, g in enumerate(gains)], axis=0
+    )
 
 
 def _slot_mask_list(ids_ref, shared_ids, wb):
@@ -204,7 +213,7 @@ def _attn_fwd_kernel(gf_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
     measured slower than 2D on Mosaic)."""
     n = x_ref.shape[1]
     cdt = _mm_dtype(x_ref.dtype)
-    gf = _slot_gain_rows(gf_ref, pl.program_id(0), wb, nw, n)
+    gf = _slot_gains(gf_ref, pl.program_id(0), wb, nw)
     masks = _slot_mask_list(ids_ref, shared_ids, wb)
     x = x_ref[...].reshape(wb * n, -1).astype(jnp.float32)
     y, _, _ = _ln_fwd(x, lng_ref[0], lnb_ref[0])
@@ -217,7 +226,7 @@ def _attn_fwd_kernel(gf_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
     ]
     ao = aos[0] if wb == 1 else jnp.concatenate(aos, axis=0)
     branch = _mmw(ao.astype(cdt), wproj_ref[...].astype(cdt)) + bproj_ref[0]
-    out = lam * x + gf * branch
+    out = lam * x + _apply_gains(gf, branch, n)
     out_ref[...] = out.reshape(x_ref.shape).astype(out_ref.dtype)
 
 
@@ -290,7 +299,8 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
 
     # --- backward ---
     do_res = do_ref[...].reshape(wb * n, -1).astype(jnp.float32)
-    do = _slot_gain_rows(gb_ref, pl.program_id(0), wb, nw, n) * do_res
+    do = _apply_gains(_slot_gains(gb_ref, pl.program_id(0), wb, nw),
+                      do_res, n)
     dwproj_ref[...] += _mm(ao.astype(cdt), do.astype(cdt), 0, 0)
     dbproj_ref[0] += jnp.sum(do, axis=0)
     dao = _mmw(do.astype(cdt), wproj_ref[...].astype(cdt), w_axis=1)
@@ -319,18 +329,25 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
 
 def attn_window_batch(n_windows: int, nsamp: int, n: int, c: int,
                       n_heads: int, backward: bool) -> int:
-    """Windows per kernel program (the grid covers bw // wb programs)."""
+    """Windows per kernel program (the grid covers bw // wb programs).
+
+    Measured (dispatch-free chain probe, stage-1 shapes, the flat [WB*N, C]
+    kernel form): fwd 3.95/3.44/3.27/3.38 ms per kernel at wb=1/4/8/12,
+    fwd+bwd 12.75/12.02/12.37/13.67 — window batching amortizes program
+    launches and grows the LN/qkv/proj matmul M dim. BUT at full-step level
+    the win rounds to zero (bench 45.9 wb=1 vs 45.6 with wb=8-fwd/4-bwd
+    defaults) while the per-slot unrolling ballooned the train-step compile
+    from ~3 to ~23 min — so the default stays 1 and the env knob remains
+    for shape-specific experiments. (The round-1 3D-dot kernel form
+    measured wb=1 fastest per-kernel too, for a different reason: batched
+    3D dots lower poorly on Mosaic.)
+    """
+    units = n_windows if n_windows > 1 else nsamp
     env = os.environ.get("VSN_ATTN_WB")
     if env:
         wb = int(env)
-        if (n_windows % wb == 0) or (n_windows == 1 and nsamp % wb == 0):
-            return wb  # dev override: trusted past the VMEM model
-    # Measured (dispatch-free chain probe, stage-1 shapes): wb=1 4.06 ms
-    # fwd/kernel vs 5.0-5.1 ms at wb=8/12/27 — batched 3D dots lower worse
-    # than per-window 2D matmuls, and program count is NOT the bottleneck
-    # (the axon tunnel's ~6 ms per-DISPATCH latency had contaminated the
-    # single-call numbers that motivated batching). Default stays 1; the
-    # env knob remains for re-evaluation on other TPU generations.
+        if units % wb == 0 and attn_half_vmem_ok(c, n, n_heads, wb):
+            return wb
     return 1
 
 
@@ -649,12 +666,13 @@ fused_ln_mlp.defvjp(_ln_mlp_vjp_fwd, _ln_mlp_bwd)
 # gating
 # ---------------------------------------------------------------------------
 
-def attn_half_vmem_ok(c: int, n: int, n_heads: int) -> bool:
+def attn_half_vmem_ok(c: int, n: int, n_heads: int, wb: int = 1) -> bool:
     """Conservative VMEM budget for the fused attention-half backward."""
     weights = 2 * 4 * (c * 3 * c + c * c)          # wqkv/wproj + grads, f32
     bias = 2 * 4 * n_heads * n * n                 # bias + dbias
-    acts = 10 * 4 * n * 3 * c                      # qkv/dqkv/x/y/do headroom
-    return weights + bias + acts < 80 * 1024 * 1024
+    acts = 10 * 4 * wb * n * 3 * c                 # qkv/dqkv/x/y/do headroom
+    masks = 4 * wb * n * n                         # per-slot additive masks
+    return weights + bias + acts + masks < 70 * 1024 * 1024
 
 
 def ln_mlp_vmem_ok(c: int, hid: int, tile: int) -> bool:
