@@ -76,6 +76,20 @@ def clamp_window(x_size, window_size, shift_size):
     return tuple(w), tuple(s)
 
 
+def roll3d(x: jax.Array, shift: Tuple[int, int, int]) -> jax.Array:
+    """3-axis roll over the spatial dims as wrap-pad + one static slice.
+
+    jnp.roll lowers to one concat pass PER axis; the pad+slice form fuses
+    into the adjacent partition/reverse transpose copy (measured at stage-1
+    shapes: roll+partition 5.76 ms vs 4.82 for padpart, with partition
+    alone at 4.17 — scripts/perf_probe_roll.py)."""
+    sz, sy, sx = (int(-sv) % dim for sv, dim in zip(shift, x.shape[1:4]))
+    if not (sz or sy or sx):
+        return x
+    y = jnp.pad(x, ((0, 0), (0, sz), (0, sy), (0, sx), (0, 0)), mode="wrap")
+    return y[:, sz:sz + x.shape[1], sy:sy + x.shape[2], sx:sx + x.shape[3], :]
+
+
 def window_partition(x: jax.Array, window: Tuple[int, int, int]) -> jax.Array:
     """[B, D, H, W, C] -> [B*nW, wD*wH*wW, C] (pure reshape/transpose)."""
     b, d, h, w, c = x.shape
@@ -693,9 +707,8 @@ class SwinBlock3D(nn.Module):
 
         h_in = x if self.post_norm else norm_ctor(name="norm1")(x)
         if shifted:
-            h_in = jnp.roll(
-                h_in, shift=(-self.shift[0], -self.shift[1], -self.shift[2]),
-                axis=(1, 2, 3),
+            h_in = roll3d(
+                h_in, (-self.shift[0], -self.shift[1], -self.shift[2])
             )
         windows = window_partition(h_in, self.window)
         attn_windows = WindowAttention3D(
@@ -711,7 +724,7 @@ class SwinBlock3D(nn.Module):
         )(windows, region_ids, deterministic)
         attn_out = window_reverse(attn_windows, self.window, (d, h, w))
         if shifted:
-            attn_out = jnp.roll(attn_out, shift=self.shift, axis=(1, 2, 3))
+            attn_out = roll3d(attn_out, self.shift)
         if self.post_norm:
             attn_out = norm_ctor(name="norm1")(attn_out)
         x = ResidualBranch(**residual_kw, name="res1")(
@@ -777,8 +790,7 @@ class SwinBlock3D(nn.Module):
         from vsn_tpu.ops.swin_block_kernels import (
             fused_attn_half,
             fused_ln_mlp,
-            ln_mlp_vmem_ok,
-            mlp_tile_rows,
+            mlp_tiling,
         )
 
         b, d, h, w, c = x.shape
@@ -807,10 +819,8 @@ class SwinBlock3D(nn.Module):
             # input as the shortcut and we invert the permutation after.
             h_in = x
             if shifted:
-                h_in = jnp.roll(
-                    h_in,
-                    shift=(-self.shift[0], -self.shift[1], -self.shift[2]),
-                    axis=(1, 2, 3),
+                h_in = roll3d(
+                    h_in, (-self.shift[0], -self.shift[1], -self.shift[2])
                 )
             windows = window_partition(h_in, self.window)  # raw, pre-norm
             if region_ids is None:
@@ -823,7 +833,7 @@ class SwinBlock3D(nn.Module):
             )
             x = window_reverse(out_windows, self.window, (d, h, w))
             if shifted:
-                x = jnp.roll(x, shift=self.shift, axis=(1, 2, 3))
+                x = roll3d(x, self.shift)
             x = x.astype(self.dtype)
         else:
             # Packed layout: real tokens bin-packed into V full-size virtual
@@ -869,14 +879,12 @@ class SwinBlock3D(nn.Module):
         )()
         gf2, gb2 = self._residual_gains(b, deterministic, "res2")
         rows = d * h * w
-        tile, pad_rows = mlp_tile_rows(rows), 0
-        if not tile:
-            # Row count not divisible by 8 (unpadded packed-stage grids):
-            # pad each sample's rows to the next multiple of 8 — zero rows
-            # flow LN->MLP harmlessly and their upstream grads are zero.
-            rows8 = -(-rows // 8) * 8
-            tile, pad_rows = mlp_tile_rows(rows8), rows8 - rows
-        if tile and ln_mlp_vmem_ok(c, hidden, tile):
+        # Pad each sample's rows as needed (packed-stage grids are not
+        # multiples of 8; rounder row counts admit much larger tiles) —
+        # zero rows flow LN->MLP harmlessly and their upstream grads are
+        # zero. mlp_tiling maximizes rows-per-program under the VMEM cap.
+        tile, pad_rows = mlp_tiling(rows, c, hidden)
+        if tile:
             flat = x.reshape(b, rows, c)
             if pad_rows:
                 flat = jnp.pad(flat, ((0, 0), (0, pad_rows), (0, 0)))

@@ -212,8 +212,7 @@ class ViTBlock(nn.Module):
         from vsn_tpu.models.swin3d import _MlpParams, _NormParams, _RngDraw
         from vsn_tpu.ops.swin_block_kernels import (
             fused_ln_mlp,
-            ln_mlp_vmem_ok,
-            mlp_tile_rows,
+            mlp_tiling,
         )
 
         b, t, c = x.shape
@@ -236,9 +235,9 @@ class ViTBlock(nn.Module):
         gf, gb = gf * beta, gb * beta
         lam = float(self.stable_lam) if self.enable_stable else 1.0
 
-        t_pad = -(-t // 8) * 8
-        tile = mlp_tile_rows(t_pad)
-        if tile and ln_mlp_vmem_ok(c, self.mlp_dim, tile):
+        tile, pad_rows = mlp_tiling(t, c, self.mlp_dim)
+        t_pad = t + pad_rows
+        if tile:
             xp = (
                 jnp.pad(x, [(0, 0), (0, t_pad - t), (0, 0)])
                 if t_pad != t else x

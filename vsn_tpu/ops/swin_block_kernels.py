@@ -569,6 +569,31 @@ def mlp_tile_rows(t: int, cap: int = 512) -> int:
     return best
 
 
+def mlp_tiling(rows: int, c: int, hid: int) -> tuple[int, int]:
+    """(tile, pad_rows) for the fused LN+MLP kernel over per-sample ``rows``.
+
+    Searches per-sample paddings (multiples of 8, up to +256 rows) and
+    divisor tiles under the VMEM budget, minimizing a padded-compute +
+    program-overhead cost (a program launch is worth ~64 rows of MLP
+    compute) — program overhead dominated the kernel at the old 512-row
+    cap (stage-1 Swin-T: 864 programs of 504 rows; ~3k-row tiles cut that
+    6x), while an unpenalized max-tile search pads small stages by up to
+    170%. Returns (0, 0) when no padding yields a feasible tile."""
+    overhead_rows = 64
+    best, best_cost = (0, 0), None
+    base = -(-rows // 8) * 8
+    for rows_p in range(base, base + 257, 8):
+        for cand in range(8, min(rows_p, 8192) + 1, 8):
+            # cap live activations at ~40 MB (8 tile x hid f32 temporaries),
+            # leaving pipelining headroom under the 100 MB scoped limit
+            if (rows_p % cand == 0 and 32 * cand * hid <= 40 * 1024 * 1024
+                    and ln_mlp_vmem_ok(c, hid, cand)):
+                cost = rows_p + overhead_rows * (rows_p // cand)
+                if best_cost is None or cost < best_cost:
+                    best, best_cost = (cand, rows_p - rows), cost
+    return best
+
+
 def _mlp_specs(tile, c, hid, nsamp):
     blk = lambda shape: pl.BlockSpec(
         shape, lambda ti: (0,) * len(shape), memory_space=pltpu.VMEM
