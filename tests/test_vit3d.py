@@ -133,3 +133,32 @@ def test_vit_fused_mlp_half_matches_unfused():
             np.asarray(leaf), np.asarray(flat_r[path]),
             rtol=5e-4, atol=5e-4, err_msg=str(path),
         )
+
+
+def test_vit_fused_attn_droppath_rng_parity():
+    """With DropPath active in train mode, the fused attention+MLP block
+    must reproduce the unfused block's per-sample gating bit-for-bit (the
+    fused path draws its rng through dummy submodules named res1/res2 so
+    the flax fold paths match)."""
+    import numpy as np
+    from tests.test_swin_block_kernels import _ForceTpu
+    from vsn_tpu.models.vit3d import ViTBlock
+
+    rng = np.random.default_rng(1)
+    b, t, c = 4, 12, 16
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+
+    kw = dict(heads=2, dim_head=8, mlp_dim=32, drop_path_rate=0.6)
+    blk_ref = ViTBlock(**kw, use_pallas=False)
+    variables = blk_ref.init(jax.random.key(0), x, True)
+    rngs = {"dropout": jax.random.key(7)}
+    out_ref = blk_ref.apply(variables, x, False, rngs=rngs)
+
+    blk_fused = ViTBlock(**kw, use_pallas=True)
+    with _ForceTpu():
+        out_fused = blk_fused.apply(variables, x, False, rngs=rngs)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-4)
+    # gating must actually vary across samples at this rate
+    diff = np.abs(np.asarray(out_ref) - np.asarray(x)).sum(axis=(1, 2))
+    assert (diff < 1e-6).any() or (diff > 1e-3).any()

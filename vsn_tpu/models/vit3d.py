@@ -117,6 +117,42 @@ class ViTAttention(nn.Module):
         return out
 
 
+class _ViTAttnParams(nn.Module):
+    """ViTAttention-compatible params (norm/qkv/proj) for the fused-kernel
+    path — declared without applying so the param tree is bit-identical to
+    the unfused module tree (checkpoints interoperate). Only valid when
+    heads * dim_head == dim (true for every preset) so wqkv is [C, 3C]."""
+
+    dim: int
+    enable_stable: bool
+    attn_dropout: float
+
+    @nn.compact
+    def __call__(self):
+        from vsn_tpu.models.swin3d import _DenseParams, _NormParams
+
+        lng, lnb = _NormParams(self.dim, name="norm")()
+        qkv_init = (
+            stable_qkv_init(self.dim, self.attn_dropout)
+            if self.enable_stable
+            else trunc_normal_init(0.02)
+        )
+        wqkv, bqkv = _DenseParams(
+            self.dim, 3 * self.dim, use_bias=False, kernel_init=qkv_init,
+            name="qkv",
+        )()
+        proj_init = (
+            normal_init(stable_vproj_std(self.dim, self.attn_dropout))
+            if self.enable_stable
+            else trunc_normal_init(0.02)
+        )
+        wproj, bproj = _DenseParams(
+            self.dim, self.dim, use_bias=True, kernel_init=proj_init,
+            name="proj",
+        )()
+        return lng, lnb, wqkv, bqkv, wproj, bproj
+
+
 class ViTBlock(nn.Module):
     heads: int
     dim_head: int
@@ -148,20 +184,24 @@ class ViTBlock(nn.Module):
             dtype=self.dtype,
         )
 
-        attn_out = ViTAttention(
-            heads=self.heads,
-            dim_head=self.dim_head,
-            dropout=self.attention_dropout,
-            post_norm=self.post_norm,
-            norm_ctor=norm_ctor,
-            dtype=self.dtype,
-            enable_stable=self.enable_stable,
-            stable_dropout=self.attention_dropout,
-            name="attn",
-        )(x, deterministic)
-        if self.post_norm:
-            attn_out = norm_ctor(name="attn_norm")(attn_out)
-        x = ResidualBranch(**residual_kw, name="res1")(x, attn_out, deterministic)
+        if self._fused_attn_ok(x.shape[-1], x.shape[1]):
+            x = self._fused_attn_half(x, deterministic)
+        else:
+            attn_out = ViTAttention(
+                heads=self.heads,
+                dim_head=self.dim_head,
+                dropout=self.attention_dropout,
+                post_norm=self.post_norm,
+                norm_ctor=norm_ctor,
+                dtype=self.dtype,
+                enable_stable=self.enable_stable,
+                stable_dropout=self.attention_dropout,
+                name="attn",
+            )(x, deterministic)
+            if self.post_norm:
+                attn_out = norm_ctor(name="attn_norm")(attn_out)
+            x = ResidualBranch(**residual_kw, name="res1")(
+                x, attn_out, deterministic)
 
         if self._fused_mlp_ok():
             return self._fused_mlp_half(x, deterministic)
@@ -183,6 +223,56 @@ class ViTBlock(nn.Module):
             ff_out = norm_ctor(name="ff_norm")(ff_out)
         x = ResidualBranch(**residual_kw, name="res2")(x, ff_out, deterministic)
         return x
+
+    def _fused_attn_ok(self, c: int, t: int) -> bool:
+        """Static gate for the fused attention-half kernel (bias=None form
+        of vsn_tpu/ops/swin_block_kernels.py:fused_attn_half — full-sequence
+        attention is window attention with one 811-token window and no
+        relative-position bias; VERDICT round 1 item 4)."""
+        from vsn_tpu.ops.swin_block_kernels import attn_half_vmem_ok
+
+        inner = self.heads * self.dim_head
+        return (
+            self.use_pallas
+            and not self.post_norm
+            and not self.layer_scale
+            and self.norm_layer_name in (None, False, "nn.LayerNorm",
+                                         "LayerNorm")
+            and self.dropout == 0.0
+            and self.attention_dropout == 0.0
+            and inner == c
+            and not (self.heads == 1 and self.dim_head == c)
+            and attn_half_vmem_ok(c, t, self.heads, with_bias=False)
+            and jax.devices()[0].platform == "tpu"
+        )
+
+    def _fused_attn_half(self, x, deterministic):
+        """LN + qkv + softmax attention + proj + gated residual as one
+        Pallas kernel (reference vit_3d.py:81-143 attention semantics)."""
+        from vsn_tpu.models.layers import residual_branch_gains
+        from vsn_tpu.models.swin3d import _RngDraw
+        from vsn_tpu.ops.swin_block_kernels import fused_attn_half
+
+        b, t, c = x.shape
+        lng, lnb, wqkv, bqkv, wproj, bproj = _ViTAttnParams(
+            dim=c, enable_stable=self.enable_stable,
+            attn_dropout=self.attention_dropout, name="attn",
+        )()
+        needs_rng = self.drop_path_rate > 0.0 and not deterministic
+        rng = _RngDraw(stream="dropout", name="res1")() if needs_rng else None
+        gf, gb = residual_branch_gains(
+            b, self.drop_path_rate, False, (-1.0, 1.0), deterministic, rng
+        )
+        beta = self.stable_beta if self.enable_stable else 1.0
+        gf, gb = gf * beta, gb * beta
+        lam = float(self.stable_lam) if self.enable_stable else 1.0
+        ids = jnp.zeros((1, t), jnp.int32)
+        scale = self.dim_head**-0.5
+        out = fused_attn_half(
+            x, lng, lnb, wqkv, bqkv, None, ids, wproj, bproj,
+            gf, gb, scale, self.heads, lam,
+        )
+        return out.astype(self.dtype)
 
     def _fused_mlp_ok(self) -> bool:
         """Static gate mirroring SwinBlock3D._fused_ok: the fused LN+MLP

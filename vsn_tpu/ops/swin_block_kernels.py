@@ -160,7 +160,8 @@ def _slot_mask_list(ids_ref, shared_ids, wb):
 def _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt):
     """qkv [N, 3C] f32 -> merged-head attention output [N, C] f32, plus the
     per-head probability list for reuse in the backward pass. Strictly 2D:
-    batched 3D dots measured slower than unrolled per-window 2D matmuls."""
+    batched 3D dots measured slower than unrolled per-window 2D matmuls.
+    ``bias_ref`` may be None (no relative-position bias — the ViT path)."""
     c = qkv.shape[-1] // 3
     d = c // n_heads
     outs, probs = [], []
@@ -168,8 +169,9 @@ def _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt):
         q = qkv[:, h * d:(h + 1) * d].astype(cdt)
         k = qkv[:, c + h * d:c + (h + 1) * d].astype(cdt)
         v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
-        s = _mm(q, k, 1, 1) * scale                         # [N, N]
-        s = s + bias_ref[h] + mask
+        s = _mm(q, k, 1, 1) * scale + mask                  # [N, N]
+        if bias_ref is not None:
+            s = s + bias_ref[h]
         s = s - jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
@@ -206,7 +208,7 @@ def _mmw(a, w, w_axis=0):
 
 def _attn_fwd_kernel(gf_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
                      bqkv_ref, bias_ref, wproj_ref, bproj_ref, out_ref,
-                     *, scale, n_heads, lam, nw, wb, shared_ids):
+                     *, scale, n_heads, lam, nw, wb, shared_ids, has_bias):
     """Window-batched flat form: LN/qkv/proj run ONCE on the [WB*N, C] token
     matrix (amortizing program launches and growing the matmul M dim);
     attention stays per-slot 2D matmuls in an unrolled loop (batched 3D dots
@@ -215,12 +217,13 @@ def _attn_fwd_kernel(gf_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
     cdt = _mm_dtype(x_ref.dtype)
     gf = _slot_gains(gf_ref, pl.program_id(0), wb, nw)
     masks = _slot_mask_list(ids_ref, shared_ids, wb)
+    bias = bias_ref if has_bias else None
     x = x_ref[...].reshape(wb * n, -1).astype(jnp.float32)
     y, _, _ = _ln_fwd(x, lng_ref[0], lnb_ref[0])
     qkv = _mmw(y.astype(cdt), wqkv_ref[...].astype(cdt)) + bqkv_ref[0]
     aos = [
         _heads_attention_fwd(
-            qkv[s * n:(s + 1) * n], bias_ref, masks[s], scale, n_heads, cdt
+            qkv[s * n:(s + 1) * n], bias, masks[s], scale, n_heads, cdt
         )[0]
         for s in range(wb)
     ]
@@ -263,7 +266,7 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
                      bqkv_ref, bias_ref, wproj_ref, bproj_ref, do_ref,
                      dx_ref, dlng_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
                      dbias_ref, dwproj_ref, dbproj_ref,
-                     *, scale, n_heads, lam, nw, wb, shared_ids):
+                     *, scale, n_heads, lam, nw, wb, shared_ids, has_bias):
     """Flat-form backward mirroring ``_attn_fwd_kernel``: LN/qkv/proj grads
     run once on the [WB*N, C] token matrix (outer products stay 2D with the
     token axis as the contraction dim); the attention chain stays per-slot
@@ -271,6 +274,7 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
     first = pl.program_id(0) == 0
     n = x_ref.shape[1]
     masks = _slot_mask_list(ids_ref, shared_ids, wb)
+    bias = bias_ref if has_bias else None
 
     @pl.when(first)
     def _():
@@ -291,7 +295,7 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
     slot_aos, slot_probs = [], []
     for s in range(wb):
         ao_s, probs_s = _heads_attention_fwd(
-            qkv[s * n:(s + 1) * n], bias_ref, masks[s], scale, n_heads, cdt
+            qkv[s * n:(s + 1) * n], bias, masks[s], scale, n_heads, cdt
         )
         slot_aos.append(ao_s)
         slot_probs.append(probs_s)
@@ -309,12 +313,13 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
     slot_dqkv = [
         _heads_attention_bwd(
             qkv[s * n:(s + 1) * n], slot_probs[s], dao[s * n:(s + 1) * n],
-            bias_ref, scale, n_heads, cdt, dbias_acc,
+            bias, scale, n_heads, cdt, dbias_acc,
         )
         for s in range(wb)
     ]
-    for h in range(n_heads):
-        dbias_ref[h] += dbias_acc[h]
+    if has_bias:
+        for h in range(n_heads):
+            dbias_ref[h] += dbias_acc[h]
     dqkv = slot_dqkv[0] if wb == 1 else jnp.concatenate(slot_dqkv, axis=0)
 
     dwqkv_ref[...] += _mm(y.astype(cdt), dqkv.astype(cdt), 0, 0)
@@ -351,7 +356,7 @@ def attn_window_batch(n_windows: int, nsamp: int, n: int, c: int,
     return 1
 
 
-def _attn_specs(n, c, n_heads, w, nsamp, wb):
+def _attn_specs(n, c, n_heads, w, nsamp, wb, has_bias=True):
     blk = lambda shape: pl.BlockSpec(
         shape, lambda bi: (0,) * len(shape), memory_space=pltpu.VMEM
     )
@@ -379,7 +384,7 @@ def _attn_specs(n, c, n_heads, w, nsamp, wb):
         lnv=blk((1, c)),
         wqkv=blk((c, 3 * c)),
         bqkv=blk((1, 3 * c)),
-        bias=blk((n_heads, n, n)),
+        bias=blk((n_heads, n, n) if has_bias else (1, 1, 1)),
         wproj=blk((c, c)),
         bproj=blk((1, c)),
     )
@@ -391,12 +396,14 @@ def _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
     w = ids.shape[0]
     nsamp = gf.shape[0]
     nw = bw // nsamp
+    has_bias = bias is not None
     wb = attn_window_batch(w if w > 1 else nw, nsamp, n, c, n_heads, False)
-    sp = _attn_specs(n, c, n_heads, w, nsamp, wb)
+    sp = _attn_specs(n, c, n_heads, w, nsamp, wb, has_bias)
+    bias_arg = bias if has_bias else jnp.zeros((1, 1, 1), jnp.float32)
     return pl.pallas_call(
         functools.partial(
             _attn_fwd_kernel, scale=scale, n_heads=n_heads, lam=lam,
-            nw=nw, wb=wb, shared_ids=(w == 1),
+            nw=nw, wb=wb, shared_ids=(w == 1), has_bias=has_bias,
         ),
         grid=(bw // wb,),
         in_specs=[sp["gain"], sp["ids"], sp["x"], sp["lnv"], sp["lnv"],
@@ -408,7 +415,7 @@ def _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
         interpret=not _wa._on_tpu(),
     )(gf.reshape(nsamp, 1), ids.reshape(max(w // wb, 1), -1, n), x,
       lng.reshape(1, c), lnb.reshape(1, c), wqkv, bqkv.reshape(1, 3 * c),
-      bias, wproj, bproj.reshape(1, c))
+      bias_arg, wproj, bproj.reshape(1, c))
 
 
 def _attn_half_bwd(scale, n_heads, lam, res, do):
@@ -417,13 +424,15 @@ def _attn_half_bwd(scale, n_heads, lam, res, do):
     w = ids.shape[0]
     nsamp = gf.shape[0]
     nw = bw // nsamp
+    has_bias = bias is not None
     wb = attn_window_batch(w if w > 1 else nw, nsamp, n, c, n_heads, True)
-    sp = _attn_specs(n, c, n_heads, w, nsamp, wb)
+    sp = _attn_specs(n, c, n_heads, w, nsamp, wb, has_bias)
+    bias_arg = bias if has_bias else jnp.zeros((1, 1, 1), jnp.float32)
     f32 = jnp.float32
     dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj = pl.pallas_call(
         functools.partial(
             _attn_bwd_kernel, scale=scale, n_heads=n_heads, lam=lam,
-            nw=nw, wb=wb, shared_ids=(w == 1),
+            nw=nw, wb=wb, shared_ids=(w == 1), has_bias=has_bias,
         ),
         grid=(bw // wb,),
         in_specs=[sp["gain"], sp["ids"], sp["x"], sp["lnv"], sp["lnv"],
@@ -437,7 +446,7 @@ def _attn_half_bwd(scale, n_heads, lam, res, do):
             jax.ShapeDtypeStruct((1, c), f32),
             jax.ShapeDtypeStruct((c, 3 * c), f32),
             jax.ShapeDtypeStruct((1, 3 * c), f32),
-            jax.ShapeDtypeStruct(bias.shape, f32),
+            jax.ShapeDtypeStruct(bias_arg.shape, f32),
             jax.ShapeDtypeStruct((c, c), f32),
             jax.ShapeDtypeStruct((1, c), f32),
         ),
@@ -445,9 +454,10 @@ def _attn_half_bwd(scale, n_heads, lam, res, do):
         interpret=not _wa._on_tpu(),
     )(gb.reshape(nsamp, 1), ids.reshape(max(w // wb, 1), -1, n), x,
       lng.reshape(1, c), lnb.reshape(1, c), wqkv, bqkv.reshape(1, 3 * c),
-      bias, wproj, bproj.reshape(1, c), do)
+      bias_arg, wproj, bproj.reshape(1, c), do)
     return (dx, dlng.reshape(c), dlnb.reshape(c), dwqkv,
-            dbqkv.reshape(3 * c), dbias, None, dwproj, dbproj.reshape(c),
+            dbqkv.reshape(3 * c), dbias if has_bias else None, None,
+            dwproj, dbproj.reshape(c),
             jnp.zeros_like(gf), jnp.zeros_like(gb))
 
 
@@ -460,7 +470,8 @@ def fused_attn_half(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
         x: [BW, N, C] raw (pre-norm) window tokens, bf16 or f32.
         lng, lnb: [C] f32 LayerNorm scale/bias (epsilon 1e-5).
         wqkv: [C, 3C] f32; bqkv: [3C] f32 (zeros when QKV_BIAS is off).
-        bias: [H, N, N] f32 relative-position bias.
+        bias: [H, N, N] f32 relative-position bias, or None (no bias term
+            and no dbias output — full-sequence ViT attention).
         ids: [W, N] int32 region ids (program bw uses row bw % W).
         wproj: [C, C] f32; bproj: [C] f32.
         gf, gb: [B] f32 per-SAMPLE forward/backward branch gains
@@ -691,10 +702,11 @@ fused_ln_mlp.defvjp(_ln_mlp_vjp_fwd, _ln_mlp_bwd)
 # gating
 # ---------------------------------------------------------------------------
 
-def attn_half_vmem_ok(c: int, n: int, n_heads: int, wb: int = 1) -> bool:
+def attn_half_vmem_ok(c: int, n: int, n_heads: int, wb: int = 1,
+                      with_bias: bool = True) -> bool:
     """Conservative VMEM budget for the fused attention-half backward."""
     weights = 2 * 4 * (c * 3 * c + c * c)          # wqkv/wproj + grads, f32
-    bias = 2 * 4 * n_heads * n * n                 # bias + dbias
+    bias = 2 * 4 * n_heads * n * n if with_bias else 0   # bias + dbias
     acts = 10 * 4 * wb * n * 3 * c                 # qkv/dqkv/x/y/do headroom
     masks = 4 * wb * n * n                         # per-slot additive masks
     return weights + bias + acts + masks < 70 * 1024 * 1024
