@@ -108,11 +108,25 @@ class ConvBNReLU(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         k = self.kernel_size
-        x = nn.Conv(
-            self.features, (k, k, k), (self.stride,) * 3, padding=k // 2,
-            feature_group_count=self.groups, use_bias=False,
-            kernel_init=trunc_normal_init(0.02), dtype=self.dtype, name="conv",
-        )(x)
+        if self.groups == 1:
+            # Tap-unfolded on TPU when C_in is tiny (stem0's C_in=1 3^3
+            # stride-2 conv otherwise contracts K=1 on the MXU — see
+            # vsn_tpu/ops/conv_unfold.py); plain conv otherwise. Param
+            # tree identical to nn.Conv.
+            from vsn_tpu.ops.conv_unfold import UnfoldedConv
+
+            x = UnfoldedConv(
+                self.features, (k, k, k), strides=(self.stride,) * 3,
+                padding=(k // 2,) * 3, kernel_init=trunc_normal_init(0.02),
+                dtype=self.dtype, name="conv",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features, (k, k, k), (self.stride,) * 3, padding=k // 2,
+                feature_group_count=self.groups, use_bias=False,
+                kernel_init=trunc_normal_init(0.02), dtype=self.dtype,
+                name="conv",
+            )(x)
         x = _bn(self.dtype, "norm")(x, use_running_average=deterministic)
         return nn.relu(x)
 

@@ -135,9 +135,15 @@ class ResNet3D(nn.Module):
         block_cls = BasicBlock3D if self.block == "basic" else Bottleneck3D
         expansion = 1 if self.block == "basic" else 4
 
-        x = nn.Conv(64, (7, 7, 7), strides=(1, 2, 2), padding=3,
-                    use_bias=False, kernel_init=kaiming_out, dtype=self.dtype,
-                    name="conv1")(x)
+        # Tap-unfolded stem: the C_in=1 7^3 conv runs at 1/128 MXU
+        # utilization under XLA (154.5 ms fwd at micro 8 — BASELINE.md);
+        # unfolding the stride-2 H/W taps into 49 channels makes the
+        # per-tap contraction K=49. Same param tree as nn.Conv.
+        from vsn_tpu.ops.conv_unfold import UnfoldedConv
+
+        x = UnfoldedConv(64, (7, 7, 7), strides=(1, 2, 2), padding=(3, 3, 3),
+                         kernel_init=kaiming_out, dtype=self.dtype,
+                         name="conv1")(x)
         x = _bn(self.dtype, "bn1")(x, use_running_average=deterministic)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2), padding=[(1, 1)] * 3)
