@@ -74,12 +74,41 @@ def probe(name, kshape, stride, pad):
         timeit(f"{name}_{tag}_full", lambda: full(w, x), n=4)
 
 
+def probe_depthwise(name, spatial, c):
+    """Depthwise 3^3 stride-1: lax grouped conv vs shift-FMA form, at the
+    MedViT stage-0 LFF shape (hidden = 4x96 = 384 over the /4 grid)."""
+    from vsn_tpu.ops.conv_unfold import depthwise_conv3d_shift
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((MICRO, *spatial, c)), DT)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 1, c)) * 0.05, DT)
+
+    def grouped(ww, xx):
+        return jax.lax.conv_general_dilated(
+            xx, ww, window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=c)
+
+    def shift(ww, xx):
+        return depthwise_conv3d_shift(xx, ww)
+
+    for tag, fn in (("grp", grouped), ("shift", shift)):
+        timeit(f"{name}_{tag}_fwd",
+               jax.jit(lambda fn=fn: fn(w, x).astype(jnp.float32).sum()))
+        full = jax.jit(jax.grad(
+            lambda ww, xx, fn=fn: fn(ww, xx).astype(jnp.float32).sum(),
+            argnums=(0, 1)))
+        timeit(f"{name}_{tag}_full", lambda: full(w, x), n=4)
+
+
 def main():
-    which = sys.argv[1:] or ["resnet", "medvit"]
+    which = sys.argv[1:] or ["resnet", "medvit", "dw"]
     if "resnet" in which:
         probe("rn7", (7, 7, 7, 1, 64), (1, 2, 2), (3, 3, 3))
     if "medvit" in which:
         probe("mv3", (3, 3, 3, 1, 64), (2, 2, 2), (1, 1, 1))
+    if "dw" in which:
+        probe_depthwise("dw384", (36, 42, 36), 384)
 
 
 if __name__ == "__main__":

@@ -108,3 +108,70 @@ def test_resnet_stem_unfold_matches_conv_path(monkeypatch):
     unf = model.apply(variables, x, True)
     np.testing.assert_allclose(np.asarray(unf), np.asarray(base),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_depthwise_shift_matches_grouped_conv():
+    from vsn_tpu.ops.conv_unfold import depthwise_conv3d_shift
+
+    rng = np.random.default_rng(4)
+    c = 12
+    x = jnp.asarray(rng.standard_normal((2, 8, 10, 8, c)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 3, 1, c)) * 0.2, jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"), feature_group_count=c)
+    got = depthwise_conv3d_shift(x, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_s(xx, kk):
+        return jnp.sum(jnp.sin(depthwise_conv3d_shift(xx, kk)))
+
+    def loss_r(xx, kk):
+        return jnp.sum(jnp.sin(jax.lax.conv_general_dilated(
+            xx, kk, window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=c)))
+
+    gx_s, gk_s = jax.grad(loss_s, argnums=(0, 1))(x, k)
+    gx_r, gk_r = jax.grad(loss_r, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk_s), np.asarray(gk_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_depthwise_module_param_tree_and_parity(monkeypatch):
+    from flax import linen as nn
+
+    from vsn_tpu.ops.conv_unfold import DepthwiseConv
+
+    rng = np.random.default_rng(5)
+    c = 8
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 6, c)), jnp.float32)
+    mod = DepthwiseConv((3, 3, 3))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    assert params["params"]["kernel"].shape == (3, 3, 3, 1, c)
+
+    ref = nn.Conv(c, (3, 3, 3), padding=1, feature_group_count=c,
+                  use_bias=False)
+    want = ref.apply(params, x)
+    monkeypatch.setenv("VSN_DW_SHIFT", "1")
+    got = mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_medvit_dwconv_shift_matches_conv_path(monkeypatch):
+    from vsn_tpu.models.medvit3d import LocalityFeedForward
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 6, 8, 6, 16)), jnp.float32)
+    mod = LocalityFeedForward(expand_ratio=2.0)
+    variables = mod.init(jax.random.PRNGKey(0), x, True)
+    monkeypatch.setenv("VSN_DW_SHIFT", "0")
+    base = mod.apply(variables, x, True)
+    monkeypatch.setenv("VSN_DW_SHIFT", "1")
+    got = mod.apply(variables, x, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=2e-4, atol=2e-4)

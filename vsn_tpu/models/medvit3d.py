@@ -234,9 +234,12 @@ class LocalityFeedForward(nn.Module):
                     name="expand")(x)
         y = _bn(self.dtype, "bn1")(y, use_running_average=deterministic)
         y = h_swish(y)
-        y = nn.Conv(hidden, (3, 3, 3), padding=1, feature_group_count=hidden,
-                    use_bias=False, kernel_init=trunc_normal_init(0.02),
-                    dtype=self.dtype, name="dwconv")(y)
+        # Depthwise conv as VPU shift-FMAs on TPU: the grouped-conv
+        # lowering contracts K=1 on the MXU (see vsn_tpu/ops/conv_unfold).
+        from vsn_tpu.ops.conv_unfold import DepthwiseConv
+
+        y = DepthwiseConv((3, 3, 3), kernel_init=trunc_normal_init(0.02),
+                          dtype=self.dtype, name="dwconv")(y)
         y = _bn(self.dtype, "bn2")(y, use_running_average=deterministic)
         y = h_swish(y)
         y = SELayer(reduction=self.reduction, dtype=self.dtype, name="se")(y)

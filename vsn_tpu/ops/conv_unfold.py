@@ -175,6 +175,75 @@ def _unfold_active(strides, kernel_shape, c_in) -> bool:
     )
 
 
+def depthwise_conv3d_shift(x: jax.Array, kernel: jax.Array,
+                           dtype=None) -> jax.Array:
+    """Depthwise stride-1 conv as kernel-tap shift-multiply-accumulates.
+
+    XLA's TPU lowering of a group-size-1 conv contracts K=1 on the MXU
+    (1/128 of peak, same wall as the stems above). A depthwise conv is
+    really an elementwise FMA per tap — a VPU job: pad once, then each
+    tap is a static slice times a [C]-broadcast weight, which XLA fuses
+    into a single bandwidth-bound elementwise pass.
+
+    Args:
+        x: [B, D, H, W, C].
+        kernel: [kd, kh, kw, 1, C] (nn.Conv's DHWIO layout at
+            feature_group_count=C), odd kernel, SAME padding implied.
+    Returns: [B, D, H, W, C] in ``dtype`` (default x.dtype).
+
+    Reference site this accelerates:
+    /root/reference/models/medvit_utils.py:427-532 (LocalityFeedForward
+    depthwise conv; likewise MHCA's grouped conv at group size 1).
+    """
+    dt = dtype or x.dtype
+    kd, kh, kw, g, c = kernel.shape
+    assert g == 1 and c == x.shape[-1], (kernel.shape, x.shape)
+    d, h, w = x.shape[1:4]
+    x = x.astype(dt)
+    kernel = kernel.astype(dt)
+    xp = jnp.pad(x, [(0, 0), (kd // 2,) * 2, (kh // 2,) * 2,
+                     (kw // 2,) * 2, (0, 0)])
+    out = jnp.zeros_like(x)
+    for tz in range(kd):
+        for ty in range(kh):
+            for tx in range(kw):
+                out = out + (
+                    xp[:, tz:tz + d, ty:ty + h, tx:tx + w, :]
+                    * kernel[tz, ty, tx, 0, :]
+                )
+    return out
+
+
+class DepthwiseConv(nn.Module):
+    """nn.Conv(feature_group_count=C, use_bias=False) drop-in running the
+    shift-multiply VPU form on TPU (identical 'kernel' param, DHWIO
+    [k,k,k,1,C]); lax grouped conv elsewhere. Override: VSN_DW_SHIFT=0/1."""
+
+    kernel_size: Tuple[int, int, int]
+    kernel_init: object = nn.initializers.lecun_normal()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (*self.kernel_size, 1, c),
+            jnp.float32,
+        )
+        env = os.environ.get("VSN_DW_SHIFT")
+        on = (bool(int(env)) if env is not None
+              else jax.devices()[0].platform == "tpu")
+        if on:
+            return depthwise_conv3d_shift(x, kernel, dtype=self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(1, 1, 1),
+            padding=[(k // 2, k // 2) for k in self.kernel_size],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=c,
+        ).astype(self.dtype)
+
+
 class UnfoldedConv(nn.Module):
     """nn.Conv(use_bias=False) drop-in whose TPU path runs the tap-unfolded
     form. Declares the identical param ('kernel', DHWIO) so checkpoints and
