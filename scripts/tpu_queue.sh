@@ -39,3 +39,7 @@ run eval python scripts/perf_probe_eval.py
 
 # 5. Driver bench contract (Swin full stack) — confirms no regression.
 run bench python bench.py
+
+# 6. A/B the new kernel-softmax + window-resident stream at step level.
+run bench_wr0 env VSN_WINDOW_RESIDENT=0 python bench.py
+run bench_glue_chain env VSN_GLUE=chain python bench.py

@@ -343,3 +343,59 @@ def test_fused_attn_half_window_batched_gains(monkeypatch, wb, n_samples,
     gx_ref = jax.grad(lambda xx: (oracle_gated(xx) * ct).sum())(x)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_window_glue_matches_chain_composition():
+    from vsn_tpu.models.swin3d import roll3d, window_glue
+
+    rng = np.random.default_rng(7)
+    dims, window = (4, 6, 4), (2, 3, 2)
+    nwin = 2 * 2 * 2
+    wins = jnp.asarray(
+        rng.standard_normal((3 * nwin, 2 * 3 * 2, 5)), jnp.float32)
+    for t in [(1, 1, 1), (1, 2, 1), (0, 1, 0), (1, 0, 1)]:
+        want = window_partition(
+            roll3d(window_reverse(wins, window, dims),
+                   tuple(-v for v in t)), window)
+        got = window_glue(wins, window, dims, t)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   err_msg=str(t))
+
+
+@pytest.mark.parametrize("use_winres", [True, False])
+def test_basiclayer_window_resident_matches_unfused(monkeypatch, use_winres):
+    """The window-resident stream (partition once, glue junctions, reverse
+    once) is bit-compatible with the unfused stage: same params, same
+    outputs, same grads."""
+    from vsn_tpu.models.swin3d import BasicLayer3D
+
+    monkeypatch.setenv("VSN_WINDOW_RESIDENT", "1" if use_winres else "0")
+    dims, c = (4, 4, 4), 8
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, *dims, c)), jnp.float32)
+    kwargs = dict(depth=2, num_heads=2, window=(2, 2, 2),
+                  drop_path_rates=[0.0, 0.0], downsample=False,
+                  mlp_ratio=2.0)
+
+    ref = BasicLayer3D(**kwargs, use_pallas=False)
+    variables = ref.init(jax.random.key(0), x, True)
+    out_ref = ref.apply(variables, x, True)
+    g_ref = jax.grad(lambda p: ref.apply({"params": p}, x, True).sum())(
+        variables["params"])
+
+    fused = BasicLayer3D(**kwargs, use_pallas=True)
+    with _ForceTpu():
+        v2 = fused.init(jax.random.key(0), x, True)
+        assert jax.tree.structure(v2) == jax.tree.structure(variables)
+        out = fused.apply(variables, x, True)
+        g = jax.grad(lambda p: fused.apply({"params": p}, x, True).sum())(
+            variables["params"])
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-4)
+    flat_r = dict(jax.tree.leaves_with_path(g_ref))
+    for path, leaf in jax.tree.leaves_with_path(g):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_r[path]),
+            rtol=1e-3, atol=1e-3, err_msg=str(path),
+        )

@@ -111,6 +111,46 @@ def window_reverse(
     return x.reshape(b, d, h, w, c)
 
 
+def window_glue(wins: jax.Array, window: Tuple[int, int, int],
+                dims: Tuple[int, int, int],
+                tshift: Tuple[int, int, int]) -> jax.Array:
+    """Window layout A -> window layout rolled by ``-tshift``, in one pass.
+
+    Equivalent to ``window_partition(roll3d(window_reverse(wins), -t))`` but
+    expressed directly on the 8D window view: per axis (window w, shift
+    0 <= s < w), output local index i reads input local (i+s) % w from grid
+    cell g + (i+s)//w (cyclic), so the whole permutation is a grid-dim roll
+    (outer-axis concat, large contiguous chunks) plus corner slices
+    concatenated along the window-LOCAL dims — one fusable slice/concat
+    tree with no intermediate spatial materialization. Used by the
+    window-resident residual stream (BasicLayer3D): consecutive fused
+    blocks hand windows straight to each other, replacing the
+    reverse -> unroll / roll -> partition round trip (two relayout passes
+    split by the opaque MLP kernel) with this single permutation.
+    VSN_GLUE=chain falls back to the 3-op composition for A/B timing."""
+    if os.environ.get("VSN_GLUE") == "chain":
+        x = window_reverse(wins, window, dims)
+        x = roll3d(x, tuple(-t for t in tshift))
+        return window_partition(x, window)
+    grids = tuple(dims[i] // window[i] for i in range(3))
+    wd, wh, ww = window
+    c = wins.shape[-1]
+    b = wins.shape[0] // int(np.prod(grids))
+    x = wins.reshape(b, *grids, wd, wh, ww, c)
+    for ax in range(3):
+        s = tshift[ax] % window[ax]
+        if s == 0:
+            continue
+        grid_ax, loc_ax = 1 + ax, 4 + ax
+        up = jnp.concatenate(
+            (jax.lax.slice_in_dim(x, 1, x.shape[grid_ax], axis=grid_ax),
+             jax.lax.slice_in_dim(x, 0, 1, axis=grid_ax)), axis=grid_ax)
+        lo = jax.lax.slice_in_dim(x, s, window[ax], axis=loc_ax)
+        hi = jax.lax.slice_in_dim(up, 0, s, axis=loc_ax)
+        x = jnp.concatenate((lo, hi), axis=loc_ax)
+    return x.reshape(-1, wd * wh * ww, c)
+
+
 def _axis_delta_onehot(w: int) -> np.ndarray:
     """[w, w, 2w-1] one-hot banded tensor: B[a, d, p] = 1 iff a - d + w - 1
     == p — the per-axis factor of the relative-position index."""
@@ -681,11 +721,19 @@ class SwinBlock3D(nn.Module):
     stable_lam: float = 1.0
     stable_beta: float = 0.0
     use_pallas: bool = False
+    # Window-resident IO (BasicLayer3D's fused fast path): x is already the
+    # partitioned-window tensor [B*nW, N, C] in this block's (rolled) layout
+    # and is returned in the same form; the layer owns all layout moves.
+    windows_io: bool = False
+    io_dims: Optional[Tuple[int, int, int]] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, region_ids: Optional[jax.Array],
                  deterministic: bool = True):
+        if self.windows_io:
+            assert self.io_dims is not None and self._fused_ok(x.shape[-1])
+            return self._fused_call(x, region_ids, deterministic, None)
         b, d, h, w, c = x.shape
         norm_ctor = make_norm(self.norm_layer, self.dtype)
         residual_kw = dict(
@@ -793,7 +841,14 @@ class SwinBlock3D(nn.Module):
             mlp_tiling,
         )
 
-        b, d, h, w, c = x.shape
+        if self.windows_io:
+            d, h, w = self.io_dims
+            c = x.shape[-1]
+            nwin = int(np.prod([dim // ws
+                                for dim, ws in zip((d, h, w), self.window)]))
+            b = x.shape[0] // nwin
+        else:
+            b, d, h, w, c = x.shape
         n = self.window[0] * self.window[1] * self.window[2]
         head_dim = c // self.num_heads
         scale = head_dim**-0.5
@@ -813,7 +868,23 @@ class SwinBlock3D(nn.Module):
         divisible = all(
             dim % ws == 0 for dim, ws in zip((d, h, w), self.window)
         )
-        if divisible:
+        if self.windows_io:
+            # Layout (incl. any roll) is owned by BasicLayer3D; x IS the
+            # window tensor and the residual stream stays window-ordered
+            # (the MLP half is token-pointwise, so no reverse is needed).
+            if region_ids is None:
+                ids = jnp.zeros((1, n), jnp.int32)
+            else:
+                ids = region_ids.astype(jnp.int32)
+            x = fused_attn_half(
+                x, lng1, lnb1, wqkv, bqkv, bias, ids, wproj, bproj,
+                gf1, gb1, scale, self.num_heads, lam,
+            ).astype(self.dtype)
+            # [b, rows, c] view (free: windows are sample-major) so the MLP
+            # half below — incl. gated_residual's sample-axis-0 gain
+            # broadcast — is layout-agnostic.
+            x = x.reshape(b, d * h * w, c)
+        elif divisible:
             # Residual add commutes with roll and window partition (both are
             # permutations), so the kernel adds its own rolled/partitioned
             # input as the shortcut and we invert the permutation after.
@@ -908,6 +979,8 @@ class SwinBlock3D(nn.Module):
             from vsn_tpu.models.layers import gated_residual
 
             x = gated_residual(x, mlp_out.reshape(x.shape), gf2, gb2, lam)
+        if self.windows_io:
+            return x.reshape(-1, n, c)
         return x
 
 
@@ -1046,6 +1119,24 @@ class BasicLayer3D(nn.Module):
             )
         )
 
+        # Window-resident residual stream: when the stage is divisible and
+        # every block takes the fused path, partition ONCE, hand windows
+        # straight from block to block (the MLP half is token-pointwise),
+        # bridge layout changes with a single window_glue permutation per
+        # junction, and reverse ONCE at stage end — instead of each block
+        # paying reverse -> unroll / roll -> partition around the opaque
+        # MLP kernel. Exact same math/params. VSN_WINDOW_RESIDENT=0 reverts.
+        env_wr = os.environ.get("VSN_WINDOW_RESIDENT")
+        use_winres = (
+            not any(pad)
+            and fused_block_gate(
+                self.use_pallas, self.post_norm, self.layer_scale,
+                self.norm_layer, self.dropout, self.attention_dropout,
+                c, window, self.num_heads,
+            )
+            and (bool(int(env_wr)) if env_wr is not None else True)
+        )
+
         ids_noshift = ids_shift = None
         if use_packed:
             # no stage padding: blocks derive the packed geometry (windows,
@@ -1073,9 +1164,18 @@ class BasicLayer3D(nn.Module):
         block_cls = SwinBlock3D
         if self.use_checkpoint:
             block_cls = nn.remat(SwinBlock3D, static_argnums=(3,))
+        if use_winres:
+            x = window_partition(x, window)
+        cur = tuple(0 for _ in window)
         for i in range(self.depth):
             blk_shift = tuple(0 for _ in window) if i % 2 == 0 else shift
             region_ids = ids_noshift if i % 2 == 0 else ids_shift
+            if use_winres and blk_shift != cur:
+                # bridge from layout rolled by -cur to rolled by -blk_shift
+                t = tuple((ns - cs) % ws
+                          for ns, cs, ws in zip(blk_shift, cur, window))
+                x = window_glue(x, window, (d, h, w), t)
+                cur = blk_shift
             x = block_cls(
                 use_pallas=self.use_pallas,
                 num_heads=self.num_heads,
@@ -1095,9 +1195,16 @@ class BasicLayer3D(nn.Module):
                 enable_stable=self.enable_stable,
                 stable_lam=self.stable_lam,
                 stable_beta=self.stable_beta,
+                windows_io=use_winres,
+                io_dims=(d, h, w) if use_winres else None,
                 dtype=self.dtype,
                 name=f"block{i}",
             )(x, region_ids, deterministic)
+        if use_winres:
+            x = window_reverse(x, window, (d, h, w))
+            if any(cur):
+                x = roll3d(x, cur)
+            x = x.astype(self.dtype)
 
         x = x[:, :d, :h, :w, :]
         if self.downsample:
