@@ -399,3 +399,27 @@ def test_basiclayer_window_resident_matches_unfused(monkeypatch, use_winres):
             np.asarray(leaf), np.asarray(flat_r[path]),
             rtol=1e-3, atol=1e-3, err_msg=str(path),
         )
+
+
+def test_basiclayer_window_resident_train_gating_parity(monkeypatch):
+    """Train mode with DropPath active: the window-resident stream draws
+    residual-gain rngs through the same-named block submodules, so gating
+    matches the non-resident fused path for identical rngs."""
+    from vsn_tpu.models.swin3d import BasicLayer3D
+
+    dims, c = (4, 4, 4), 8
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((4, *dims, c)), jnp.float32)
+    kwargs = dict(depth=2, num_heads=2, window=(2, 2, 2),
+                  drop_path_rates=[0.4, 0.4], downsample=False,
+                  mlp_ratio=2.0, use_pallas=True)
+    layer = BasicLayer3D(**kwargs)
+    with _ForceTpu():
+        variables = layer.init(jax.random.key(0), x, True)
+        outs = {}
+        for flag in ("1", "0"):
+            monkeypatch.setenv("VSN_WINDOW_RESIDENT", flag)
+            outs[flag] = layer.apply(
+                variables, x, False, rngs={"dropout": jax.random.key(7)})
+    np.testing.assert_allclose(np.asarray(outs["1"]), np.asarray(outs["0"]),
+                               rtol=1e-5, atol=1e-5)
