@@ -34,6 +34,9 @@ from vsn_tpu.train.step import (
 
 
 def main():
+    from vsn_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     on_tpu = jax.devices()[0].platform != "cpu"
     # North-star config: Swin-T 5c, full stabilization stack. On CPU (dev
     # boxes) shrink shapes so the bench still runs.

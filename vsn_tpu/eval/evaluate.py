@@ -300,6 +300,9 @@ def _evaluate_checkpoint_inner(
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
+    from vsn_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(description="vsn_tpu evaluator")
     p.add_argument("--checkpoints", nargs="+", required=True)
     p.add_argument("--training-csv-dir", required=True)

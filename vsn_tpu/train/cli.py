@@ -46,6 +46,9 @@ def main(argv=None):
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(name)s %(message)s"
     )
+    from vsn_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     args = get_args(argv)
     cfg = load_config(args.config, fold=args.fold, seed=args.seed)
     summary = train_fold(
