@@ -42,4 +42,4 @@ run bench python bench.py
 
 # 6. A/B the new kernel-softmax + window-resident stream at step level.
 run bench_wr0 env VSN_WINDOW_RESIDENT=0 python bench.py
-run bench_glue_chain env VSN_GLUE=chain python bench.py
+run bench_glue_corner env VSN_GLUE=corner python bench.py

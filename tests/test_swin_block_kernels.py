@@ -345,9 +345,10 @@ def test_fused_attn_half_window_batched_gains(monkeypatch, wb, n_samples,
                                rtol=2e-5, atol=2e-5)
 
 
-def test_window_glue_matches_chain_composition():
+def test_window_glue_matches_chain_composition(monkeypatch):
     from vsn_tpu.models.swin3d import roll3d, window_glue
 
+    monkeypatch.setenv("VSN_GLUE", "corner")  # pin the non-default form
     rng = np.random.default_rng(7)
     dims, window = (4, 6, 4), (2, 3, 2)
     nwin = 2 * 2 * 2

@@ -127,8 +127,12 @@ def window_glue(wins: jax.Array, window: Tuple[int, int, int],
     blocks hand windows straight to each other, replacing the
     reverse -> unroll / roll -> partition round trip (two relayout passes
     split by the opaque MLP kernel) with this single permutation.
-    VSN_GLUE=chain falls back to the 3-op composition for A/B timing."""
-    if os.environ.get("VSN_GLUE") == "chain":
+
+    Default formulation is the 3-op composition: with the ops ADJACENT in
+    the graph (no opaque kernel between them) XLA fuses them, strictly
+    cheaper than the old arrangement. VSN_GLUE=corner switches to the
+    corner-slice tree (scripts/perf_probe_glue.py A/Bs both on hardware)."""
+    if os.environ.get("VSN_GLUE", "chain") == "chain":
         x = window_reverse(wins, window, dims)
         x = roll3d(x, tuple(-t for t in tshift))
         return window_partition(x, window)
