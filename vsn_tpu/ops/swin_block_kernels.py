@@ -188,7 +188,7 @@ def _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt,
         r = 1.0 / jnp.sum(u, axis=-1, keepdims=True)        # [N, 1]
         outs.append(_mm(u.astype(cdt), v, 1, 0) * r)
         if need_probs:
-            probs.append(u * r)
+            probs.append((u, r))  # (u, r) basis — p = u * r never built
     return jnp.concatenate(outs, axis=-1), probs
 
 
@@ -250,7 +250,13 @@ def _heads_attention_bwd(qkv, probs, dao, bias_ref, scale, n_heads, cdt,
     """Per-window attention backward, strictly 2D. ``qkv``/``dao`` are one
     slot's [N, 3C]/[N, C]; accumulates per-head ds into ``dbias_acc`` (a
     list of per-head f32 [N, N] partials, or Nones on first use) and
-    returns the slot's [N, 3C] dqkv."""
+    returns the slot's [N, 3C] dqkv.
+
+    Works in the forward's (u, r) basis so p = u * r is never materialized:
+    with w = u (*) dp and s1 = rowsum(w),
+      dv = p^T @ do          = u^T @ (r (*) do)       (row scale on [N, d])
+      ds = p (*) (dp - rowsum(p (*) dp)) = r (*) w - (r^2 s1) (*) u
+    — one fewer full [N, N] pass per head than the p-basis form."""
     c = dao.shape[-1]
     d = c // n_heads
     parts_q, parts_k, parts_v = [], [], []
@@ -258,12 +264,14 @@ def _heads_attention_bwd(qkv, probs, dao, bias_ref, scale, n_heads, cdt,
         q = qkv[:, h * d:(h + 1) * d].astype(cdt)
         k = qkv[:, c + h * d:c + (h + 1) * d].astype(cdt)
         v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
-        p = probs[h]
+        u, r = probs[h]
         doh = dao[:, h * d:(h + 1) * d]
 
-        dv = _mm(p.astype(cdt), doh.astype(cdt), 0, 0)       # [N, d]
-        dp = _mm(doh.astype(cdt), v, 1, 1)                   # [N, N]
-        ds = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        dv = _mm(u.astype(cdt), (r * doh).astype(cdt), 0, 0)  # [N, d]
+        dp = _mm(doh.astype(cdt), v, 1, 1)                    # [N, N]
+        w = u * dp
+        s1 = jnp.sum(w, axis=-1, keepdims=True)
+        ds = r * w - (r * r * s1) * u
         dsb = ds.astype(cdt)
         dq = _mm(dsb, k, 1, 0) * scale
         dk = _mm(dsb, q, 0, 0) * scale
