@@ -48,7 +48,8 @@ def main():
         overrides = dict(
             USE_SAM=True, USE_EMA=True, USE_MIXUP=True, MIXUP_PROB=0.5,
             USE_SHAKEDROP=True, LABEL_SMOOTHING=0.1, SEED=0,
-            BATCH_SIZE=32, EFFECTIVE_BATCH_SIZE=128,
+            BATCH_SIZE=int(os.environ.get("VSN_BENCH_MICRO", 32)),
+            EFFECTIVE_BATCH_SIZE=128,
         )
         n_steps = int(os.environ.get("VSN_BENCH_STEPS", 8))
         warmup = int(os.environ.get("VSN_BENCH_WARMUP", 2))

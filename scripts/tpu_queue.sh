@@ -43,3 +43,8 @@ run bench python bench.py
 # 6. A/B the new kernel-softmax + window-resident stream at step level.
 run bench_wr0 env VSN_WINDOW_RESIDENT=0 python bench.py
 run bench_glue_corner env VSN_GLUE=corner python bench.py
+
+# 7. Micro-batch re-sweep with the leaner kernels (fewer VPU passes free
+#    VMEM/HBM headroom; optimum may have moved past 32).
+run bench_micro16 env VSN_BENCH_MICRO=16 python bench.py
+run bench_micro64 env VSN_BENCH_MICRO=64 python bench.py
