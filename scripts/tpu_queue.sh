@@ -37,6 +37,9 @@ run glue python scripts/perf_probe_glue.py
 # 4. Eval-matrix wall time: plain vs TTA eval rates, device-resident.
 run eval python scripts/perf_probe_eval.py
 
+# 4b. Per-kernel fused halves (isolates the softmax-thinning effect).
+run fused python scripts/perf_probe_fused.py
+
 # 5. Driver bench contract (Swin full stack) — confirms no regression.
 run bench python bench.py
 
