@@ -439,16 +439,16 @@ def _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
       bias_arg, wproj, bproj.reshape(1, c))
 
 
-def _attn_half_bwd(scale, n_heads, lam, res, do):
-    x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj, gf, gb = res
+def _attn_half_bwd_arrays(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj,
+                          bproj, gb, do, scale, n_heads, lam, has_bias):
+    """Backward pallas call on concrete arrays; returns the 8 grad arrays
+    (dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj)."""
     bw, n, c = x.shape
     w = ids.shape[0]
-    nsamp = gf.shape[0]
+    nsamp = gb.shape[0]
     nw = bw // nsamp
-    has_bias = bias is not None
     wb = attn_window_batch(w if w > 1 else nw, nsamp, n, c, n_heads, True)
     sp = _attn_specs(n, c, n_heads, w, nsamp, wb, has_bias)
-    bias_arg = bias if has_bias else jnp.zeros((1, 1, 1), jnp.float32)
     f32 = jnp.float32
     dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj = pl.pallas_call(
         functools.partial(
@@ -477,9 +477,181 @@ def _attn_half_bwd(scale, n_heads, lam, res, do):
       lng.reshape(1, c), lnb.reshape(1, c), wqkv, bqkv.reshape(1, 3 * c),
       bias_arg, wproj, bproj.reshape(1, c), do)
     return (dx, dlng.reshape(c), dlnb.reshape(c), dwqkv,
-            dbqkv.reshape(3 * c), dbias if has_bias else None, None,
-            dwproj, dbproj.reshape(c),
-            jnp.zeros_like(gf), jnp.zeros_like(gb))
+            dbqkv.reshape(3 * c), dbias, dwproj, dbproj.reshape(c))
+
+
+def _attn_half_bwd(scale, n_heads, lam, res, do):
+    x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj, gf, gb = res
+    has_bias = bias is not None
+    bias_arg = bias if has_bias else jnp.zeros((1, 1, 1), jnp.float32)
+    if len(jax.devices()) > 1:
+        fn = _attn_bwd_sharded(scale, n_heads, lam, has_bias)
+        grads = fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj,
+                   gb.reshape(-1), do)
+    else:
+        grads = _attn_half_bwd_arrays(
+            x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj,
+            gb.reshape(-1), do, scale, n_heads, lam, has_bias,
+        )
+    dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj = grads
+    return (dx, dlng, dlnb, dwqkv, dbqkv, dbias if has_bias else None, None,
+            dwproj, dbproj, jnp.zeros_like(gf), jnp.zeros_like(gb))
+
+
+# ---------------------------------------------------------------------------
+# SPMD partitioning: keep batch sharding through the opaque pallas calls
+# ---------------------------------------------------------------------------
+#
+# Under a sharded jit XLA cannot see inside a pallas custom call, and the
+# partitioner defaults to FULL REPLICATION — measured on an 8-device mesh,
+# one un-wrapped attn-half forced 7 all-gathers and returned a replicated
+# output, which on a real pod would all-gather every block's activations
+# (the reference's DP never has this problem because DDP wraps whole-module
+# replicas — /root/reference/train/train_transformer.py:2099-2108). These
+# custom_partitioning wrappers declare the data-parallel contract the
+# kernels already satisfy: tokens and per-sample gains shard on dim 0
+# (sample-major, so any axis size dividing the sample count aligns with
+# sample boundaries), parameters are replicated, and backward parameter
+# grads are psum'd over the batch axes inside the per-shard lowering.
+# Engaged only when >1 device is visible; the single-chip path is unchanged.
+
+def _dim0_axes(sharding):
+    spec = getattr(sharding, "spec", None)
+    if not spec or len(spec) == 0:
+        return None
+    return spec[0]
+
+
+def _spmd_wrap(fn_global, make_lower, batched, n_out_batched, rule):
+    """custom_partitioning wrapper for a batch-dim-0 data-parallel kernel.
+
+    batched: indices of args sharded on dim 0 (tokens, gains, cotangents);
+    n_out_batched: leading outputs sharded like arg 0 (the rest are psum'd
+    parameter grads, replicated); rule: shardy einsum-like sharding rule.
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    f = custom_partitioning(fn_global)
+
+    def _out_shardings(mesh, b_ax, result_shape):
+        outs = jax.tree.leaves(result_shape)
+        shs = []
+        for i, o in enumerate(outs):
+            if i < n_out_batched:
+                shs.append(NamedSharding(
+                    mesh, PartitionSpec(b_ax, *([None] * (o.ndim - 1)))))
+            else:
+                shs.append(NamedSharding(
+                    mesh, PartitionSpec(*([None] * o.ndim))))
+        return shs[0] if len(shs) == 1 else tuple(shs)
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_ax = _dim0_axes(arg_shapes[0].sharding)
+        arg_sh = tuple(
+            NamedSharding(
+                mesh,
+                PartitionSpec(
+                    b_ax if i in batched else None,
+                    *([None] * (a.ndim - 1)),
+                ),
+            )
+            for i, a in enumerate(arg_shapes)
+        )
+        lower = make_lower(b_ax)
+        return mesh, lower, _out_shardings(mesh, b_ax, result_shape), arg_sh
+
+    def infer(mesh, arg_shapes, result_shape):
+        b_ax = _dim0_axes(arg_shapes[0].sharding)
+        return _out_shardings(mesh, b_ax, result_shape)
+
+    f.def_partition(partition=partition,
+                    infer_sharding_from_operands=infer,
+                    sharding_rule=rule)
+    return f
+
+
+_ATTN_FWD_RULE = ("bw n c, c1, c2, c3 q, q1, h m1 m2, wi m3, c4 c5, c6, "
+                  "b, b2 -> bw n c")
+_ATTN_BWD_RULE = ("bw n c, c1, c2, c3 q, q1, h m1 m2, wi m3, c4 c5, c6, "
+                  "b, bw n c -> bw n c, g1, g2, g3 g4, g5, h2 g6 g7, "
+                  "g8 g9, g10")
+_MLP_FWD_RULE = "t c, c1, c2, c3 hd, hd1, hd2 c4, c5, b, b2 -> t c"
+_MLP_BWD_RULE = ("t c, c1, c2, c3 hd, hd1, hd2 c4, c5, b, t c -> "
+                 "t c, g1, g2, g3 g4, g5, g6 g7, g8")
+
+
+@functools.lru_cache(maxsize=None)
+def _attn_fwd_sharded(scale, n_heads, lam, has_bias):
+    def fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj, gf, gb):
+        return _attn_half_fwd(
+            x, lng, lnb, wqkv, bqkv, bias_arg if has_bias else None, ids,
+            wproj, bproj, gf, gb, scale, n_heads, lam,
+        )
+
+    return _spmd_wrap(fn, lambda b_ax: fn, batched=(0, 9, 10),
+                      n_out_batched=1, rule=_ATTN_FWD_RULE)
+
+
+@functools.lru_cache(maxsize=None)
+def _attn_bwd_sharded(scale, n_heads, lam, has_bias):
+    def fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj, gb, do):
+        return _attn_half_bwd_arrays(
+            x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj, gb, do,
+            scale, n_heads, lam, has_bias,
+        )
+
+    def make_lower(b_ax):
+        def lower(*args):
+            dx, *pgrads = fn(*args)
+            if b_ax is not None:
+                pgrads = [jax.lax.psum(g, b_ax) for g in pgrads]
+            return (dx, *pgrads)
+
+        return lower
+
+    return _spmd_wrap(fn, make_lower, batched=(0, 9, 10),
+                      n_out_batched=1, rule=_ATTN_BWD_RULE)
+
+
+@functools.lru_cache(maxsize=None)
+def _mlp_fwd_sharded(tile, lam):
+    def fn(x, lng, lnb, w1, b1, w2, b2, gf, gb):
+        return _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam)
+
+    return _spmd_wrap(fn, lambda b_ax: fn, batched=(0, 7, 8),
+                      n_out_batched=1, rule=_MLP_FWD_RULE)
+
+
+@functools.lru_cache(maxsize=None)
+def _mlp_bwd_sharded(tile, lam):
+    def fn(x, lng, lnb, w1, b1, w2, b2, gb, do):
+        return _ln_mlp_bwd_arrays(x, lng, lnb, w1, b1, w2, b2, gb, do,
+                                  tile, lam)
+
+    def make_lower(b_ax):
+        def lower(*args):
+            dx, *pgrads = fn(*args)
+            if b_ax is not None:
+                pgrads = [jax.lax.psum(g, b_ax) for g in pgrads]
+            return (dx, *pgrads)
+
+        return lower
+
+    return _spmd_wrap(fn, make_lower, batched=(0, 7, 8),
+                      n_out_batched=1, rule=_MLP_BWD_RULE)
+
+
+def _attn_half_fwd_dispatch(x, lng, lnb, wqkv, bqkv, bias, ids, wproj,
+                            bproj, gf, gb, scale, n_heads, lam):
+    if len(jax.devices()) > 1:
+        has_bias = bias is not None
+        bias_arg = bias if has_bias else jnp.zeros((1, 1, 1), jnp.float32)
+        fn = _attn_fwd_sharded(scale, n_heads, lam, has_bias)
+        return fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj,
+                  gf.reshape(-1), gb.reshape(-1))
+    return _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
+                          gf, gb, scale, n_heads, lam)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
@@ -503,14 +675,14 @@ def fused_attn_half(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
             otherwise; lam = 0.0 yields the bare branch output).
     Returns: [BW, N, C] in x.dtype.
     """
-    return _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
-                          gf, gb, scale, n_heads, lam)
+    return _attn_half_fwd_dispatch(x, lng, lnb, wqkv, bqkv, bias, ids,
+                                   wproj, bproj, gf, gb, scale, n_heads, lam)
 
 
 def _attn_half_vjp_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
                        gf, gb, scale, n_heads, lam):
-    out = _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
-                         gf, gb, scale, n_heads, lam)
+    out = _attn_half_fwd_dispatch(x, lng, lnb, wqkv, bqkv, bias, ids,
+                                  wproj, bproj, gf, gb, scale, n_heads, lam)
     return out, (x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj, gf, gb)
 
 
@@ -660,11 +832,12 @@ def _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam):
       b1.reshape(1, hid), w2, b2.reshape(1, c))
 
 
-def _ln_mlp_bwd(tile, lam, res, do):
-    x, lng, lnb, w1, b1, w2, b2, gf, gb = res
+def _ln_mlp_bwd_arrays(x, lng, lnb, w1, b1, w2, b2, gb, do, tile, lam):
+    """Backward pallas call on concrete arrays; returns the 7 grad arrays
+    (dx, dlng, dlnb, dw1, db1, dw2, db2)."""
     t, c = x.shape
     hid = w1.shape[1]
-    nsamp = gf.shape[0]
+    nsamp = gb.shape[0]
     tiles_per_sample = (t // nsamp) // tile
     sp = _mlp_specs(tile, c, hid, nsamp)
     f32 = jnp.float32
@@ -690,7 +863,18 @@ def _ln_mlp_bwd(tile, lam, res, do):
     )(gb.reshape(nsamp, 1), x, lng.reshape(1, c), lnb.reshape(1, c), w1,
       b1.reshape(1, hid), w2, b2.reshape(1, c), do)
     return (dx, dlng.reshape(c), dlnb.reshape(c), dw1, db1.reshape(hid),
-            dw2, db2.reshape(c), jnp.zeros_like(gf), jnp.zeros_like(gb))
+            dw2, db2.reshape(c))
+
+
+def _ln_mlp_bwd(tile, lam, res, do):
+    x, lng, lnb, w1, b1, w2, b2, gf, gb = res
+    if len(jax.devices()) > 1:
+        fn = _mlp_bwd_sharded(tile, lam)
+        grads = fn(x, lng, lnb, w1, b1, w2, b2, gb.reshape(-1), do)
+    else:
+        grads = _ln_mlp_bwd_arrays(x, lng, lnb, w1, b1, w2, b2,
+                                   gb.reshape(-1), do, tile, lam)
+    return (*grads, jnp.zeros_like(gf), jnp.zeros_like(gb))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
@@ -708,11 +892,21 @@ def fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam):
         lam: static residual x-gain (0.0 yields the bare branch).
     Returns: [T, C] in x.dtype.
     """
+    return _ln_mlp_fwd_dispatch(x, lng, lnb, w1, b1, w2, b2, gf, gb,
+                                tile, lam)
+
+
+def _ln_mlp_fwd_dispatch(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam):
+    if len(jax.devices()) > 1:
+        fn = _mlp_fwd_sharded(tile, lam)
+        return fn(x, lng, lnb, w1, b1, w2, b2, gf.reshape(-1),
+                  gb.reshape(-1))
     return _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam)
 
 
 def _ln_mlp_vjp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam):
-    return (_ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam),
+    return (_ln_mlp_fwd_dispatch(x, lng, lnb, w1, b1, w2, b2, gf, gb,
+                                 tile, lam),
             (x, lng, lnb, w1, b1, w2, b2, gf, gb))
 
 
