@@ -478,15 +478,29 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
-class _RngDraw(nn.Module):
-    """Param-less rng draw under a given submodule name, so the fused path
-    consumes rng streams at the same fold paths as the unfused modules."""
+class _ResDecor(nn.Module):
+    """Residual decorations under the ResidualBranch submodule name: an
+    optional rng draw (same fold path as the unfused module's make_rng) and
+    an optional LayerScale gamma declared as the identical
+    ``res*/LayerScale_0/gamma`` param tree. Returns (rng|None, gamma|None)."""
 
     stream: str
+    draw: bool = True
+    ls_dim: int = 0
+    ls_init: float = 1e-5
 
     @nn.compact
     def __call__(self):
-        return self.make_rng(self.stream)
+        gamma = None
+        if self.ls_dim:
+            from vsn_tpu.models.layers import LayerScale
+
+            gamma = LayerScale(
+                init_value=self.ls_init, dtype=jnp.float32,
+                name="LayerScale_0",
+            )(jnp.ones((self.ls_dim,), jnp.float32))
+        rng = self.make_rng(self.stream) if self.draw else None
+        return rng, gamma
 
 
 class _NormParams(nn.Module):
@@ -687,14 +701,16 @@ def fused_block_gate(use_pallas, post_norm, layer_scale, norm_layer,
                      dropout, attention_dropout, c, window, num_heads) -> bool:
     """Shared static gate for the fully-fused block kernels (SwinBlock3D
     delegates here; BasicLayer3D consults it to decide whether the stage may
-    skip window padding in favor of the packed layout)."""
+    skip window padding in favor of the packed layout). LayerScale rides
+    the kernels in-band (gamma input + dgamma output), so it does not gate.
+    ``layer_scale`` stays in the signature for call-site stability."""
     from vsn_tpu.ops.swin_block_kernels import attn_half_vmem_ok
 
+    del layer_scale
     n = window[0] * window[1] * window[2]
     return (
         use_pallas
         and not post_norm
-        and not layer_scale
         and norm_layer in (None, False, "nn.LayerNorm", "LayerNorm")
         and dropout == 0.0
         and attention_dropout == 0.0
@@ -812,18 +828,24 @@ class SwinBlock3D(nn.Module):
             c, tuple(self.window), self.num_heads,
         )
 
-    def _residual_gains(self, b: int, deterministic: bool, name: str):
-        """Per-sample (gf, gb) for one residual, with the stable-residual
-        branch gain absorbed — mirrors ResidualBranch's wrapper stack. The
-        rng is drawn through a dummy submodule with ResidualBranch's name
-        so the flax rng fold path (and hence every gating decision)
-        matches the unfused path bit-for-bit."""
+    def _residual_gains(self, b: int, c: int, deterministic: bool,
+                        name: str):
+        """Per-sample (gf, gb) plus the optional LayerScale gamma for one
+        residual, with the stable-residual branch gain absorbed — mirrors
+        ResidualBranch's wrapper stack. The rng is drawn through a dummy
+        submodule with ResidualBranch's name so the flax rng fold path (and
+        hence every gating decision) and the gamma param tree match the
+        unfused path bit-for-bit."""
         from vsn_tpu.models.layers import residual_branch_gains
 
         needs_rng = self.drop_path_rate > 0.0 and not deterministic
-        if needs_rng:
-            rng = _RngDraw(
+        gamma = None
+        if needs_rng or self.layer_scale:
+            rng, gamma = _ResDecor(
                 stream="shakedrop" if self.use_shakedrop else "dropout",
+                draw=needs_rng,
+                ls_dim=c if self.layer_scale else 0,
+                ls_init=self.layer_scale_init_value,
                 name=name,
             )()
         else:
@@ -833,7 +855,7 @@ class SwinBlock3D(nn.Module):
             tuple(self.shakedrop_alpha_range), deterministic, rng,
         )
         beta = self.stable_beta if self.enable_stable else 1.0
-        return gf * beta, gb * beta
+        return gf * beta, gb * beta, gamma
 
     def _fused_call(self, x, region_ids, deterministic, residual_kw):
         """Fused-kernel block: each half (LN + projections + attention/MLP
@@ -868,7 +890,7 @@ class SwinBlock3D(nn.Module):
         )()
         bias = expand_bias_table(bias_table, tuple(self.window))  # [H, N, N]
 
-        gf1, gb1 = self._residual_gains(b, deterministic, "res1")
+        gf1, gb1, gamma1 = self._residual_gains(b, c, deterministic, "res1")
         divisible = all(
             dim % ws == 0 for dim, ws in zip((d, h, w), self.window)
         )
@@ -882,7 +904,7 @@ class SwinBlock3D(nn.Module):
                 ids = region_ids.astype(jnp.int32)
             x = fused_attn_half(
                 x, lng1, lnb1, wqkv, bqkv, bias, ids, wproj, bproj,
-                gf1, gb1, scale, self.num_heads, lam,
+                gf1, gb1, scale, self.num_heads, lam, gamma=gamma1,
             ).astype(self.dtype)
             # [b, rows, c] view (free: windows are sample-major) so the MLP
             # half below — incl. gated_residual's sample-axis-0 gain
@@ -904,7 +926,7 @@ class SwinBlock3D(nn.Module):
                 ids = region_ids.astype(jnp.int32)
             out_windows = fused_attn_half(
                 windows, lng1, lnb1, wqkv, bqkv, bias, ids, wproj, bproj,
-                gf1, gb1, scale, self.num_heads, lam,
+                gf1, gb1, scale, self.num_heads, lam, gamma=gamma1,
             )
             x = window_reverse(out_windows, self.window, (d, h, w))
             if shifted:
@@ -935,7 +957,7 @@ class SwinBlock3D(nn.Module):
                 fused_attn_half(
                     packed[v], lng1, lnb1, wqkv, bqkv, bias_packed[v],
                     pids[v][None], wproj, bproj, gf1, gb1, scale,
-                    self.num_heads, lam,
+                    self.num_heads, lam, gamma=gamma1,
                 )
                 for v in range(pk.shape[0])
             ]
@@ -952,7 +974,7 @@ class SwinBlock3D(nn.Module):
         w1, b1, w2, b2 = _MlpParams(
             dim=c, hidden=hidden, kernel_init=mlp_init, name="mlp"
         )()
-        gf2, gb2 = self._residual_gains(b, deterministic, "res2")
+        gf2, gb2, gamma2 = self._residual_gains(b, c, deterministic, "res2")
         rows = d * h * w
         # Pad each sample's rows as needed (packed-stage grids are not
         # multiples of 8; rounder row counts admit much larger tiles) —
@@ -966,6 +988,7 @@ class SwinBlock3D(nn.Module):
             out = fused_ln_mlp(
                 flat.reshape(b * (rows + pad_rows), c),
                 lng2, lnb2, w1, b1, w2, b2, gf2, gb2, tile, lam,
+                gamma=gamma2,
             ).reshape(b, rows + pad_rows, c)
             if pad_rows:
                 out = out[:, :rows]
@@ -980,6 +1003,9 @@ class SwinBlock3D(nn.Module):
                 jnp.dot(hact.astype(self.dtype), w2.astype(self.dtype))
                 + b2.astype(self.dtype)
             )
+            if gamma2 is not None:
+                mlp_out = (mlp_out.astype(jnp.float32) * gamma2).astype(
+                    self.dtype)
             from vsn_tpu.models.layers import gated_residual
 
             x = gated_residual(x, mlp_out.reshape(x.shape), gf2, gb2, lam)

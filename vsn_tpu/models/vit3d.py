@@ -235,7 +235,6 @@ class ViTBlock(nn.Module):
         return (
             self.use_pallas
             and not self.post_norm
-            and not self.layer_scale
             and self.norm_layer_name in (None, False, "nn.LayerNorm",
                                          "LayerNorm")
             and self.dropout == 0.0
@@ -250,7 +249,7 @@ class ViTBlock(nn.Module):
         """LN + qkv + softmax attention + proj + gated residual as one
         Pallas kernel (reference vit_3d.py:81-143 attention semantics)."""
         from vsn_tpu.models.layers import residual_branch_gains
-        from vsn_tpu.models.swin3d import _RngDraw
+        from vsn_tpu.models.swin3d import _ResDecor
         from vsn_tpu.ops.swin_block_kernels import fused_attn_half
 
         b, t, c = x.shape
@@ -258,8 +257,7 @@ class ViTBlock(nn.Module):
             dim=c, enable_stable=self.enable_stable,
             attn_dropout=self.attention_dropout, name="attn",
         )()
-        needs_rng = self.drop_path_rate > 0.0 and not deterministic
-        rng = _RngDraw(stream="dropout", name="res1")() if needs_rng else None
+        rng, gamma = self._res_decor(c, deterministic, "res1")
         gf, gb = residual_branch_gains(
             b, self.drop_path_rate, False, (-1.0, 1.0), deterministic, rng
         )
@@ -270,9 +268,22 @@ class ViTBlock(nn.Module):
         scale = self.dim_head**-0.5
         out = fused_attn_half(
             x, lng, lnb, wqkv, bqkv, None, ids, wproj, bproj,
-            gf, gb, scale, self.heads, lam,
+            gf, gb, scale, self.heads, lam, gamma=gamma,
         )
         return out.astype(self.dtype)
+
+    def _res_decor(self, c, deterministic, name):
+        """rng + optional LayerScale gamma at the unfused fold paths/tree."""
+        from vsn_tpu.models.swin3d import _ResDecor
+
+        needs_rng = self.drop_path_rate > 0.0 and not deterministic
+        if needs_rng or self.layer_scale:
+            return _ResDecor(
+                stream="dropout", draw=needs_rng,
+                ls_dim=c if self.layer_scale else 0,
+                ls_init=self.layer_scale_init_value, name=name,
+            )()
+        return None, None
 
     def _fused_mlp_ok(self) -> bool:
         """Static gate mirroring SwinBlock3D._fused_ok: the fused LN+MLP
@@ -283,7 +294,6 @@ class ViTBlock(nn.Module):
         return (
             self.use_pallas
             and not self.post_norm
-            and not self.layer_scale
             and self.norm_layer_name in (None, False, "nn.LayerNorm",
                                          "LayerNorm")
             and self.dropout == 0.0
@@ -299,7 +309,7 @@ class ViTBlock(nn.Module):
         so a tile divides the per-sample rows; pad rows are sliced off.
         """
         from vsn_tpu.models.layers import residual_branch_gains
-        from vsn_tpu.models.swin3d import _MlpParams, _NormParams, _RngDraw
+        from vsn_tpu.models.swin3d import _MlpParams, _NormParams
         from vsn_tpu.ops.swin_block_kernels import (
             fused_ln_mlp,
             mlp_tiling,
@@ -316,8 +326,7 @@ class ViTBlock(nn.Module):
             dim=c, hidden=self.mlp_dim, kernel_init=mlp_kernel_init,
             name="mlp",
         )()
-        needs_rng = self.drop_path_rate > 0.0 and not deterministic
-        rng = _RngDraw(stream="dropout", name="res2")() if needs_rng else None
+        rng, gamma = self._res_decor(c, deterministic, "res2")
         gf, gb = residual_branch_gains(
             b, self.drop_path_rate, False, (-1.0, 1.0), deterministic, rng
         )
@@ -334,7 +343,8 @@ class ViTBlock(nn.Module):
             )
             flat = xp.reshape(b * t_pad, c)
             out = fused_ln_mlp(
-                flat, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam
+                flat, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam,
+                gamma=gamma,
             ).reshape(b, t_pad, c)[:, :t]
             return out.astype(self.dtype)
         # same math via XLA on the declared params
@@ -348,6 +358,8 @@ class ViTBlock(nn.Module):
             jnp.dot(hact.astype(self.dtype), w2.astype(self.dtype))
             + b2.astype(self.dtype)
         )
+        if gamma is not None:
+            ff = (ff.astype(jnp.float32) * gamma).astype(self.dtype)
         return gated_residual(x, ff, gf, gb, lam).astype(self.dtype)
 
 

@@ -219,8 +219,9 @@ def _mmw(a, w, w_axis=0):
 
 
 def _attn_fwd_kernel(gf_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
-                     bqkv_ref, bias_ref, wproj_ref, bproj_ref, out_ref,
-                     *, scale, n_heads, lam, nw, wb, shared_ids, has_bias):
+                     bqkv_ref, bias_ref, wproj_ref, bproj_ref, gamma_ref,
+                     out_ref, *, scale, n_heads, lam, nw, wb, shared_ids,
+                     has_bias, has_ls):
     """Window-batched flat form: LN/qkv/proj run ONCE on the [WB*N, C] token
     matrix (amortizing program launches and growing the matmul M dim);
     attention stays per-slot 2D matmuls in an unrolled loop (batched 3D dots
@@ -241,6 +242,8 @@ def _attn_fwd_kernel(gf_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
     ]
     ao = aos[0] if wb == 1 else jnp.concatenate(aos, axis=0)
     branch = _mmw(ao.astype(cdt), wproj_ref[...].astype(cdt)) + bproj_ref[0]
+    if has_ls:
+        branch = branch * gamma_ref[0]
     out = lam * x + _apply_gains(gf, branch, n)
     out_ref[...] = out.reshape(x_ref.shape).astype(out_ref.dtype)
 
@@ -283,10 +286,11 @@ def _heads_attention_bwd(qkv, probs, dao, bias_ref, scale, n_heads, cdt,
 
 
 def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
-                     bqkv_ref, bias_ref, wproj_ref, bproj_ref, do_ref,
-                     dx_ref, dlng_ref, dlnb_ref, dwqkv_ref, dbqkv_ref,
-                     dbias_ref, dwproj_ref, dbproj_ref,
-                     *, scale, n_heads, lam, nw, wb, shared_ids, has_bias):
+                     bqkv_ref, bias_ref, wproj_ref, bproj_ref, gamma_ref,
+                     do_ref, dx_ref, dlng_ref, dlnb_ref, dwqkv_ref,
+                     dbqkv_ref, dbias_ref, dwproj_ref, dbproj_ref,
+                     dgamma_ref, *, scale, n_heads, lam, nw, wb, shared_ids,
+                     has_bias, has_ls):
     """Flat-form backward mirroring ``_attn_fwd_kernel``: LN/qkv/proj grads
     run once on the [WB*N, C] token matrix (outer products stay 2D with the
     token axis as the contraction dim); the attention chain stays per-slot
@@ -305,6 +309,7 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
         dwproj_ref[...] = jnp.zeros_like(dwproj_ref)
         dbproj_ref[...] = jnp.zeros_like(dbproj_ref)
+        dgamma_ref[...] = jnp.zeros_like(dgamma_ref)
 
     # --- recompute forward ---
     cdt = _mm_dtype(x_ref.dtype)
@@ -326,8 +331,21 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
     do_res = do_ref[...].reshape(wb * n, -1).astype(jnp.float32)
     do = _apply_gains(_slot_gains(gb_ref, pl.program_id(0), wb, nw),
                       do_res, n)
-    dwproj_ref[...] += _mm(ao.astype(cdt), do.astype(cdt), 0, 0)
-    dbproj_ref[0] += jnp.sum(do, axis=0)
+    # LayerScale: with M = ao^T @ do and s = sum(do), the gamma'd grads are
+    # dwproj = M (*) gamma, dbproj = s (*) gamma, dgamma = colsum(wproj (*)
+    # M) + bproj (*) s — no branch recompute needed.
+    proj_m = _mm(ao.astype(cdt), do.astype(cdt), 0, 0)
+    proj_s = jnp.sum(do, axis=0)
+    if has_ls:
+        gamma = gamma_ref[0]
+        dgamma_ref[0] += (jnp.sum(wproj_ref[...] * proj_m, axis=0)
+                          + bproj_ref[0, :] * proj_s)
+        dwproj_ref[...] += proj_m * gamma
+        dbproj_ref[0] += proj_s * gamma
+        do = do * gamma
+    else:
+        dwproj_ref[...] += proj_m
+        dbproj_ref[0] += proj_s
     dao = _mmw(do.astype(cdt), wproj_ref[...].astype(cdt), w_axis=1)
 
     dbias_acc = [None] * n_heads
@@ -412,37 +430,41 @@ def _attn_specs(n, c, n_heads, w, nsamp, wb, has_bias=True):
 
 
 def _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
-                   gf, gb, scale, n_heads, lam):
+                   gf, gb, scale, n_heads, lam, gamma=None):
     bw, n, c = x.shape
     w = ids.shape[0]
     nsamp = gf.shape[0]
     nw = bw // nsamp
     has_bias = bias is not None
+    has_ls = gamma is not None
     wb = attn_window_batch(w if w > 1 else nw, nsamp, n, c, n_heads, False)
     sp = _attn_specs(n, c, n_heads, w, nsamp, wb, has_bias)
     bias_arg = bias if has_bias else jnp.zeros((1, 1, 1), jnp.float32)
+    gamma_arg = gamma if has_ls else jnp.zeros((c,), jnp.float32)
     return pl.pallas_call(
         functools.partial(
             _attn_fwd_kernel, scale=scale, n_heads=n_heads, lam=lam,
             nw=nw, wb=wb, shared_ids=(w == 1), has_bias=has_bias,
+            has_ls=has_ls,
         ),
         grid=(bw // wb,),
         in_specs=[sp["gain"], sp["ids"], sp["x"], sp["lnv"], sp["lnv"],
                   sp["wqkv"], sp["bqkv"], sp["bias"], sp["wproj"],
-                  sp["bproj"]],
+                  sp["bproj"], sp["lnv"]],
         out_specs=sp["x"],
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=_CPARAMS,
         interpret=not _wa._on_tpu(),
     )(gf.reshape(nsamp, 1), ids.reshape(max(w // wb, 1), -1, n), x,
       lng.reshape(1, c), lnb.reshape(1, c), wqkv, bqkv.reshape(1, 3 * c),
-      bias_arg, wproj, bproj.reshape(1, c))
+      bias_arg, wproj, bproj.reshape(1, c), gamma_arg.reshape(1, c))
 
 
 def _attn_half_bwd_arrays(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj,
-                          bproj, gb, do, scale, n_heads, lam, has_bias):
-    """Backward pallas call on concrete arrays; returns the 8 grad arrays
-    (dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj)."""
+                          bproj, gamma_arg, gb, do, scale, n_heads, lam,
+                          has_bias, has_ls):
+    """Backward pallas call on concrete arrays; returns the 9 grad arrays
+    (dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj, dgamma)."""
     bw, n, c = x.shape
     w = ids.shape[0]
     nsamp = gb.shape[0]
@@ -450,17 +472,19 @@ def _attn_half_bwd_arrays(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj,
     wb = attn_window_batch(w if w > 1 else nw, nsamp, n, c, n_heads, True)
     sp = _attn_specs(n, c, n_heads, w, nsamp, wb, has_bias)
     f32 = jnp.float32
-    dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj = pl.pallas_call(
+    (dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj,
+     dgamma) = pl.pallas_call(
         functools.partial(
             _attn_bwd_kernel, scale=scale, n_heads=n_heads, lam=lam,
             nw=nw, wb=wb, shared_ids=(w == 1), has_bias=has_bias,
+            has_ls=has_ls,
         ),
         grid=(bw // wb,),
         in_specs=[sp["gain"], sp["ids"], sp["x"], sp["lnv"], sp["lnv"],
                   sp["wqkv"], sp["bqkv"], sp["bias"], sp["wproj"],
-                  sp["bproj"], sp["x"]],
+                  sp["bproj"], sp["lnv"], sp["x"]],
         out_specs=(sp["x"], sp["lnv"], sp["lnv"], sp["wqkv"], sp["bqkv"],
-                   sp["bias"], sp["wproj"], sp["bproj"]),
+                   sp["bias"], sp["wproj"], sp["bproj"], sp["lnv"]),
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct((1, c), f32),
@@ -470,32 +494,39 @@ def _attn_half_bwd_arrays(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj,
             jax.ShapeDtypeStruct(bias_arg.shape, f32),
             jax.ShapeDtypeStruct((c, c), f32),
             jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
         ),
         compiler_params=_CPARAMS,
         interpret=not _wa._on_tpu(),
     )(gb.reshape(nsamp, 1), ids.reshape(max(w // wb, 1), -1, n), x,
       lng.reshape(1, c), lnb.reshape(1, c), wqkv, bqkv.reshape(1, 3 * c),
-      bias_arg, wproj, bproj.reshape(1, c), do)
+      bias_arg, wproj, bproj.reshape(1, c), gamma_arg.reshape(1, c), do)
     return (dx, dlng.reshape(c), dlnb.reshape(c), dwqkv,
-            dbqkv.reshape(3 * c), dbias, dwproj, dbproj.reshape(c))
+            dbqkv.reshape(3 * c), dbias, dwproj, dbproj.reshape(c),
+            dgamma.reshape(c))
 
 
 def _attn_half_bwd(scale, n_heads, lam, res, do):
-    x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj, gf, gb = res
+    x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj, gf, gb, gamma = res
     has_bias = bias is not None
+    has_ls = gamma is not None
     bias_arg = bias if has_bias else jnp.zeros((1, 1, 1), jnp.float32)
+    c = x.shape[-1]
+    gamma_arg = gamma if has_ls else jnp.zeros((c,), jnp.float32)
     if len(jax.devices()) > 1:
-        fn = _attn_bwd_sharded(scale, n_heads, lam, has_bias)
+        fn = _attn_bwd_sharded(scale, n_heads, lam, has_bias, has_ls)
         grads = fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj,
-                   gb.reshape(-1), do)
+                   gamma_arg, gb.reshape(-1), do)
     else:
         grads = _attn_half_bwd_arrays(
             x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj,
-            gb.reshape(-1), do, scale, n_heads, lam, has_bias,
+            gamma_arg, gb.reshape(-1), do, scale, n_heads, lam, has_bias,
+            has_ls,
         )
-    dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj = grads
+    dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj, dgamma = grads
     return (dx, dlng, dlnb, dwqkv, dbqkv, dbias if has_bias else None, None,
-            dwproj, dbproj, jnp.zeros_like(gf), jnp.zeros_like(gb))
+            dwproj, dbproj, jnp.zeros_like(gf), jnp.zeros_like(gb),
+            dgamma if has_ls else None)
 
 
 # ---------------------------------------------------------------------------
@@ -572,33 +603,36 @@ def _spmd_wrap(fn_global, make_lower, batched, n_out_batched, rule):
 
 
 _ATTN_FWD_RULE = ("bw n c, c1, c2, c3 q, q1, h m1 m2, wi m3, c4 c5, c6, "
-                  "b, b2 -> bw n c")
+                  "c7, b, b2 -> bw n c")
 _ATTN_BWD_RULE = ("bw n c, c1, c2, c3 q, q1, h m1 m2, wi m3, c4 c5, c6, "
-                  "b, bw n c -> bw n c, g1, g2, g3 g4, g5, h2 g6 g7, "
-                  "g8 g9, g10")
-_MLP_FWD_RULE = "t c, c1, c2, c3 hd, hd1, hd2 c4, c5, b, b2 -> t c"
-_MLP_BWD_RULE = ("t c, c1, c2, c3 hd, hd1, hd2 c4, c5, b, t c -> "
-                 "t c, g1, g2, g3 g4, g5, g6 g7, g8")
+                  "c7, b, bw n c -> bw n c, g1, g2, g3 g4, g5, h2 g6 g7, "
+                  "g8 g9, g10, g11")
+_MLP_FWD_RULE = "t c, c1, c2, c3 hd, hd1, hd2 c4, c5, c6, b, b2 -> t c"
+_MLP_BWD_RULE = ("t c, c1, c2, c3 hd, hd1, hd2 c4, c5, c6, b, t c -> "
+                 "t c, g1, g2, g3 g4, g5, g6 g7, g8, g9")
 
 
 @functools.lru_cache(maxsize=None)
-def _attn_fwd_sharded(scale, n_heads, lam, has_bias):
-    def fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj, gf, gb):
+def _attn_fwd_sharded(scale, n_heads, lam, has_bias, has_ls):
+    def fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj, gamma_arg,
+           gf, gb):
         return _attn_half_fwd(
             x, lng, lnb, wqkv, bqkv, bias_arg if has_bias else None, ids,
             wproj, bproj, gf, gb, scale, n_heads, lam,
+            gamma=gamma_arg if has_ls else None,
         )
 
-    return _spmd_wrap(fn, lambda b_ax: fn, batched=(0, 9, 10),
+    return _spmd_wrap(fn, lambda b_ax: fn, batched=(0, 10, 11),
                       n_out_batched=1, rule=_ATTN_FWD_RULE)
 
 
 @functools.lru_cache(maxsize=None)
-def _attn_bwd_sharded(scale, n_heads, lam, has_bias):
-    def fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj, gb, do):
+def _attn_bwd_sharded(scale, n_heads, lam, has_bias, has_ls):
+    def fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj, gamma_arg,
+           gb, do):
         return _attn_half_bwd_arrays(
-            x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj, gb, do,
-            scale, n_heads, lam, has_bias,
+            x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj,
+            gamma_arg, gb, do, scale, n_heads, lam, has_bias, has_ls,
         )
 
     def make_lower(b_ax):
@@ -610,24 +644,25 @@ def _attn_bwd_sharded(scale, n_heads, lam, has_bias):
 
         return lower
 
-    return _spmd_wrap(fn, make_lower, batched=(0, 9, 10),
+    return _spmd_wrap(fn, make_lower, batched=(0, 10, 11),
                       n_out_batched=1, rule=_ATTN_BWD_RULE)
 
 
 @functools.lru_cache(maxsize=None)
-def _mlp_fwd_sharded(tile, lam):
-    def fn(x, lng, lnb, w1, b1, w2, b2, gf, gb):
-        return _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam)
+def _mlp_fwd_sharded(tile, lam, has_ls):
+    def fn(x, lng, lnb, w1, b1, w2, b2, gamma_arg, gf, gb):
+        return _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam,
+                           gamma=gamma_arg if has_ls else None)
 
-    return _spmd_wrap(fn, lambda b_ax: fn, batched=(0, 7, 8),
+    return _spmd_wrap(fn, lambda b_ax: fn, batched=(0, 8, 9),
                       n_out_batched=1, rule=_MLP_FWD_RULE)
 
 
 @functools.lru_cache(maxsize=None)
-def _mlp_bwd_sharded(tile, lam):
-    def fn(x, lng, lnb, w1, b1, w2, b2, gb, do):
-        return _ln_mlp_bwd_arrays(x, lng, lnb, w1, b1, w2, b2, gb, do,
-                                  tile, lam)
+def _mlp_bwd_sharded(tile, lam, has_ls):
+    def fn(x, lng, lnb, w1, b1, w2, b2, gamma_arg, gb, do):
+        return _ln_mlp_bwd_arrays(x, lng, lnb, w1, b1, w2, b2, gamma_arg,
+                                  gb, do, tile, lam, has_ls)
 
     def make_lower(b_ax):
         def lower(*args):
@@ -638,26 +673,29 @@ def _mlp_bwd_sharded(tile, lam):
 
         return lower
 
-    return _spmd_wrap(fn, make_lower, batched=(0, 7, 8),
+    return _spmd_wrap(fn, make_lower, batched=(0, 8, 9),
                       n_out_batched=1, rule=_MLP_BWD_RULE)
 
 
 def _attn_half_fwd_dispatch(x, lng, lnb, wqkv, bqkv, bias, ids, wproj,
-                            bproj, gf, gb, scale, n_heads, lam):
+                            bproj, gf, gb, gamma, scale, n_heads, lam):
+    has_ls = gamma is not None
     if len(jax.devices()) > 1:
         has_bias = bias is not None
         bias_arg = bias if has_bias else jnp.zeros((1, 1, 1), jnp.float32)
-        fn = _attn_fwd_sharded(scale, n_heads, lam, has_bias)
+        c = x.shape[-1]
+        gamma_arg = gamma if has_ls else jnp.zeros((c,), jnp.float32)
+        fn = _attn_fwd_sharded(scale, n_heads, lam, has_bias, has_ls)
         return fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj,
-                  gf.reshape(-1), gb.reshape(-1))
+                  gamma_arg, gf.reshape(-1), gb.reshape(-1))
     return _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
-                          gf, gb, scale, n_heads, lam)
+                          gf, gb, scale, n_heads, lam, gamma=gamma)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
 def fused_attn_half(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
-                    gf, gb, scale, n_heads, lam):
-    """lam * x + gf[s] * proj(window_attention(qkv(LN(x)))), fused.
+                    gf, gb, scale, n_heads, lam, gamma=None):
+    """lam * x + gf[s] * (gamma (*)) proj(window_attention(qkv(LN(x)))).
 
     Args:
         x: [BW, N, C] raw (pre-norm) window tokens, bf16 or f32.
@@ -673,17 +711,22 @@ def fused_attn_half(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
             bw // (BW // B).
         scale, n_heads, lam: static (lam = stable residual x-gain, 1.0
             otherwise; lam = 0.0 yields the bare branch output).
+        gamma: optional [C] f32 learnable LayerScale applied to the branch
+            BEFORE the gains (reference ResidualBranch order); None = off.
     Returns: [BW, N, C] in x.dtype.
     """
     return _attn_half_fwd_dispatch(x, lng, lnb, wqkv, bqkv, bias, ids,
-                                   wproj, bproj, gf, gb, scale, n_heads, lam)
+                                   wproj, bproj, gf, gb, gamma,
+                                   scale, n_heads, lam)
 
 
 def _attn_half_vjp_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
-                       gf, gb, scale, n_heads, lam):
+                       gf, gb, scale, n_heads, lam, gamma=None):
     out = _attn_half_fwd_dispatch(x, lng, lnb, wqkv, bqkv, bias, ids,
-                                  wproj, bproj, gf, gb, scale, n_heads, lam)
-    return out, (x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj, gf, gb)
+                                  wproj, bproj, gf, gb, gamma,
+                                  scale, n_heads, lam)
+    return out, (x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj, gf, gb,
+                 gamma)
 
 
 fused_attn_half.defvjp(_attn_half_vjp_fwd, _attn_half_bwd)
@@ -694,7 +737,8 @@ fused_attn_half.defvjp(_attn_half_vjp_fwd, _attn_half_bwd)
 # ---------------------------------------------------------------------------
 
 def _mlp_fwd_kernel(gf_ref, x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
-                    b2_ref, out_ref, *, lam, tiles_per_sample):
+                    b2_ref, gamma_ref, out_ref, *, lam, tiles_per_sample,
+                    has_ls):
     cdt = _mm_dtype(x_ref.dtype)
     x = x_ref[...].astype(jnp.float32)                      # [T, C]
     y, _, _ = _ln_fwd(x, lng_ref[0], lnb_ref[0])
@@ -707,15 +751,17 @@ def _mlp_fwd_kernel(gf_ref, x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
         h.astype(cdt), w2_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b2_ref[0]
+    if has_ls:
+        branch = branch * gamma_ref[0]
     gf = gf_ref[pl.program_id(0) // tiles_per_sample, 0]
     out = lam * x + gf * branch
     out_ref[...] = out.astype(out_ref.dtype)
 
 
 def _mlp_bwd_kernel(gb_ref, x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
-                    b2_ref, do_ref,
+                    b2_ref, gamma_ref, do_ref,
                     dx_ref, dlng_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
-                    db2_ref, *, lam, tiles_per_sample):
+                    db2_ref, dgamma_ref, *, lam, tiles_per_sample, has_ls):
     first = pl.program_id(0) == 0
 
     @pl.when(first)
@@ -726,6 +772,7 @@ def _mlp_bwd_kernel(gb_ref, x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
         db1_ref[...] = jnp.zeros_like(db1_ref)
         dw2_ref[...] = jnp.zeros_like(dw2_ref)
         db2_ref[...] = jnp.zeros_like(db2_ref)
+        dgamma_ref[...] = jnp.zeros_like(dgamma_ref)
 
     cdt = _mm_dtype(x_ref.dtype)
     x = x_ref[...].astype(jnp.float32)
@@ -739,11 +786,24 @@ def _mlp_bwd_kernel(gb_ref, x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
 
     do_res = do_ref[...].astype(jnp.float32)
     do = gb_ref[pl.program_id(0) // tiles_per_sample, 0] * do_res
-    dw2_ref[...] += jax.lax.dot_general(
+    # LayerScale (see the attn bwd kernel): with M = h^T @ do and
+    # s = sum(do), dw2 = M (*) gamma, db2 = s (*) gamma and
+    # dgamma = colsum(w2 (*) M) + b2 (*) s — no branch recompute.
+    fc2_m = jax.lax.dot_general(
         h.astype(cdt), do.astype(cdt), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    db2_ref[0] += jnp.sum(do, axis=0)
+    fc2_s = jnp.sum(do, axis=0)
+    if has_ls:
+        gamma = gamma_ref[0]
+        dgamma_ref[0] += (jnp.sum(w2_ref[...] * fc2_m, axis=0)
+                          + b2_ref[0, :] * fc2_s)
+        dw2_ref[...] += fc2_m * gamma
+        db2_ref[0] += fc2_s * gamma
+        do = do * gamma
+    else:
+        dw2_ref[...] += fc2_m
+        db2_ref[0] += fc2_s
     dh = jax.lax.dot_general(
         do.astype(cdt), w2_ref[...].astype(cdt), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -812,43 +872,46 @@ def _mlp_specs(tile, c, hid, nsamp):
     )
 
 
-def _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam):
+def _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam, gamma=None):
     t, c = x.shape
     hid = w1.shape[1]
     nsamp = gf.shape[0]
+    has_ls = gamma is not None
+    gamma_arg = gamma if has_ls else jnp.zeros((c,), jnp.float32)
     tiles_per_sample = (t // nsamp) // tile
     sp = _mlp_specs(tile, c, hid, nsamp)
     return pl.pallas_call(
         functools.partial(_mlp_fwd_kernel, lam=lam,
-                          tiles_per_sample=tiles_per_sample),
+                          tiles_per_sample=tiles_per_sample, has_ls=has_ls),
         grid=(t // tile,),
         in_specs=[sp["gain"], sp["x"], sp["lnv"], sp["lnv"], sp["w1"],
-                  sp["b1"], sp["w2"], sp["b2"]],
+                  sp["b1"], sp["w2"], sp["b2"], sp["lnv"]],
         out_specs=sp["x"],
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         compiler_params=_CPARAMS,
         interpret=not _wa._on_tpu(),
     )(gf.reshape(nsamp, 1), x, lng.reshape(1, c), lnb.reshape(1, c), w1,
-      b1.reshape(1, hid), w2, b2.reshape(1, c))
+      b1.reshape(1, hid), w2, b2.reshape(1, c), gamma_arg.reshape(1, c))
 
 
-def _ln_mlp_bwd_arrays(x, lng, lnb, w1, b1, w2, b2, gb, do, tile, lam):
-    """Backward pallas call on concrete arrays; returns the 7 grad arrays
-    (dx, dlng, dlnb, dw1, db1, dw2, db2)."""
+def _ln_mlp_bwd_arrays(x, lng, lnb, w1, b1, w2, b2, gamma_arg, gb, do,
+                       tile, lam, has_ls):
+    """Backward pallas call on concrete arrays; returns the 8 grad arrays
+    (dx, dlng, dlnb, dw1, db1, dw2, db2, dgamma)."""
     t, c = x.shape
     hid = w1.shape[1]
     nsamp = gb.shape[0]
     tiles_per_sample = (t // nsamp) // tile
     sp = _mlp_specs(tile, c, hid, nsamp)
     f32 = jnp.float32
-    dx, dlng, dlnb, dw1, db1, dw2, db2 = pl.pallas_call(
+    dx, dlng, dlnb, dw1, db1, dw2, db2, dgamma = pl.pallas_call(
         functools.partial(_mlp_bwd_kernel, lam=lam,
-                          tiles_per_sample=tiles_per_sample),
+                          tiles_per_sample=tiles_per_sample, has_ls=has_ls),
         grid=(t // tile,),
         in_specs=[sp["gain"], sp["x"], sp["lnv"], sp["lnv"], sp["w1"],
-                  sp["b1"], sp["w2"], sp["b2"], sp["x"]],
+                  sp["b1"], sp["w2"], sp["b2"], sp["lnv"], sp["x"]],
         out_specs=(sp["x"], sp["lnv"], sp["lnv"], sp["w1"], sp["b1"],
-                   sp["w2"], sp["b2"]),
+                   sp["w2"], sp["b2"], sp["lnv"]),
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct((1, c), f32),
@@ -857,29 +920,37 @@ def _ln_mlp_bwd_arrays(x, lng, lnb, w1, b1, w2, b2, gb, do, tile, lam):
             jax.ShapeDtypeStruct((1, hid), f32),
             jax.ShapeDtypeStruct((hid, c), f32),
             jax.ShapeDtypeStruct((1, c), f32),
+            jax.ShapeDtypeStruct((1, c), f32),
         ),
         compiler_params=_CPARAMS,
         interpret=not _wa._on_tpu(),
     )(gb.reshape(nsamp, 1), x, lng.reshape(1, c), lnb.reshape(1, c), w1,
-      b1.reshape(1, hid), w2, b2.reshape(1, c), do)
+      b1.reshape(1, hid), w2, b2.reshape(1, c), gamma_arg.reshape(1, c), do)
     return (dx, dlng.reshape(c), dlnb.reshape(c), dw1, db1.reshape(hid),
-            dw2, db2.reshape(c))
+            dw2, db2.reshape(c), dgamma.reshape(c))
 
 
 def _ln_mlp_bwd(tile, lam, res, do):
-    x, lng, lnb, w1, b1, w2, b2, gf, gb = res
+    x, lng, lnb, w1, b1, w2, b2, gf, gb, gamma = res
+    has_ls = gamma is not None
+    gamma_arg = (gamma if has_ls
+                 else jnp.zeros((x.shape[-1],), jnp.float32))
     if len(jax.devices()) > 1:
-        fn = _mlp_bwd_sharded(tile, lam)
-        grads = fn(x, lng, lnb, w1, b1, w2, b2, gb.reshape(-1), do)
+        fn = _mlp_bwd_sharded(tile, lam, has_ls)
+        grads = fn(x, lng, lnb, w1, b1, w2, b2, gamma_arg,
+                   gb.reshape(-1), do)
     else:
-        grads = _ln_mlp_bwd_arrays(x, lng, lnb, w1, b1, w2, b2,
-                                   gb.reshape(-1), do, tile, lam)
-    return (*grads, jnp.zeros_like(gf), jnp.zeros_like(gb))
+        grads = _ln_mlp_bwd_arrays(x, lng, lnb, w1, b1, w2, b2, gamma_arg,
+                                   gb.reshape(-1), do, tile, lam, has_ls)
+    *main, dgamma = grads
+    return (*main, jnp.zeros_like(gf), jnp.zeros_like(gb),
+            dgamma if has_ls else None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
-def fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam):
-    """lam * x + gf[s] * fc2(gelu_exact(fc1(LN(x)))) on flat token tiles.
+def fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam,
+                 gamma=None):
+    """lam * x + gf[s] * (gamma (*)) fc2(gelu_exact(fc1(LN(x)))), tiled.
 
     Args:
         x: [T, C] tokens, T divisible by ``tile`` and by len(gf), with
@@ -890,24 +961,31 @@ def fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam):
         gf, gb: [B] f32 per-sample forward/backward branch gains.
         tile: static row-tile size (use ``mlp_tile_rows``).
         lam: static residual x-gain (0.0 yields the bare branch).
+        gamma: optional [C] f32 LayerScale on the branch (before gains).
     Returns: [T, C] in x.dtype.
     """
     return _ln_mlp_fwd_dispatch(x, lng, lnb, w1, b1, w2, b2, gf, gb,
-                                tile, lam)
+                                gamma, tile, lam)
 
 
-def _ln_mlp_fwd_dispatch(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam):
+def _ln_mlp_fwd_dispatch(x, lng, lnb, w1, b1, w2, b2, gf, gb, gamma,
+                         tile, lam):
+    has_ls = gamma is not None
     if len(jax.devices()) > 1:
-        fn = _mlp_fwd_sharded(tile, lam)
-        return fn(x, lng, lnb, w1, b1, w2, b2, gf.reshape(-1),
+        gamma_arg = (gamma if has_ls
+                     else jnp.zeros((x.shape[-1],), jnp.float32))
+        fn = _mlp_fwd_sharded(tile, lam, has_ls)
+        return fn(x, lng, lnb, w1, b1, w2, b2, gamma_arg, gf.reshape(-1),
                   gb.reshape(-1))
-    return _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam)
+    return _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam,
+                       gamma=gamma)
 
 
-def _ln_mlp_vjp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam):
+def _ln_mlp_vjp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam,
+                    gamma=None):
     return (_ln_mlp_fwd_dispatch(x, lng, lnb, w1, b1, w2, b2, gf, gb,
-                                 tile, lam),
-            (x, lng, lnb, w1, b1, w2, b2, gf, gb))
+                                 gamma, tile, lam),
+            (x, lng, lnb, w1, b1, w2, b2, gf, gb, gamma))
 
 
 fused_ln_mlp.defvjp(_ln_mlp_vjp_fwd, _ln_mlp_bwd)
