@@ -464,3 +464,43 @@ def test_fused_block_layerscale_matches_unfused():
             np.asarray(leaf), np.asarray(flat_r[path]),
             rtol=1e-3, atol=1e-3, err_msg=str(path),
         )
+
+
+@pytest.mark.parametrize("with_ls", [False, True])
+def test_fused_block_post_norm_matches_unfused(with_ls):
+    """Post-norm rides the fused kernels in-band: norm1/norm2 move onto the
+    branch outputs (before LayerScale/gains), same params, outputs, grads."""
+    dims = (4, 4, 4)
+    c = 8
+    rng = np.random.default_rng(19)
+    x = jnp.asarray(rng.standard_normal((2, *dims, c)), jnp.float32)
+    ids = jnp.asarray(
+        shifted_window_region_ids(dims, (2, 2, 2), (1, 1, 1)))
+    kwargs = {**_block_kwargs(True), "post_norm": True,
+              "layer_scale": with_ls, "layer_scale_init_value": 0.1}
+
+    blk_unfused = SwinBlock3D(**{**kwargs, "use_pallas": False})
+    variables = blk_unfused.init(jax.random.key(0), x, ids, True)
+    variables = jax.tree.map(
+        lambda v: v + 0.05 * jnp.arange(v.size, dtype=v.dtype).reshape(
+            v.shape) / v.size if v.ndim == 1 else v, variables)
+    out_ref = blk_unfused.apply(variables, x, ids, True)
+
+    blk_fused = SwinBlock3D(**kwargs)
+    with _ForceTpu():
+        v_fused = blk_fused.init(jax.random.key(0), x, ids, True)
+        assert jax.tree.structure(v_fused) == jax.tree.structure(variables)
+        out_fused = blk_fused.apply(variables, x, ids, True)
+        g_fused = jax.grad(lambda p: blk_fused.apply(
+            {"params": p}, x, ids, True).sum())(variables["params"])
+
+    g_ref = jax.grad(lambda p: blk_unfused.apply(
+        {"params": p}, x, ids, True).sum())(variables["params"])
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-4)
+    flat_r = dict(jax.tree.leaves_with_path(g_ref))
+    for path, leaf in jax.tree.leaves_with_path(g_fused):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_r[path]),
+            rtol=1e-3, atol=1e-3, err_msg=str(path),
+        )

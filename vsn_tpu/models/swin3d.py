@@ -701,16 +701,16 @@ def fused_block_gate(use_pallas, post_norm, layer_scale, norm_layer,
                      dropout, attention_dropout, c, window, num_heads) -> bool:
     """Shared static gate for the fully-fused block kernels (SwinBlock3D
     delegates here; BasicLayer3D consults it to decide whether the stage may
-    skip window padding in favor of the packed layout). LayerScale rides
-    the kernels in-band (gamma input + dgamma output), so it does not gate.
-    ``layer_scale`` stays in the signature for call-site stability."""
+    skip window padding in favor of the packed layout). LayerScale and
+    post-norm ride the kernels in-band (gamma input + dgamma output;
+    post_norm static moves norm1/norm2 onto the branch outputs), so neither
+    gates. Both stay in the signature for call-site stability."""
     from vsn_tpu.ops.swin_block_kernels import attn_half_vmem_ok
 
-    del layer_scale
+    del layer_scale, post_norm
     n = window[0] * window[1] * window[2]
     return (
         use_pallas
-        and not post_norm
         and norm_layer in (None, False, "nn.LayerNorm", "LayerNorm")
         and dropout == 0.0
         and attention_dropout == 0.0
@@ -905,6 +905,7 @@ class SwinBlock3D(nn.Module):
             x = fused_attn_half(
                 x, lng1, lnb1, wqkv, bqkv, bias, ids, wproj, bproj,
                 gf1, gb1, scale, self.num_heads, lam, gamma=gamma1,
+                post_norm=self.post_norm,
             ).astype(self.dtype)
             # [b, rows, c] view (free: windows are sample-major) so the MLP
             # half below — incl. gated_residual's sample-axis-0 gain
@@ -927,6 +928,7 @@ class SwinBlock3D(nn.Module):
             out_windows = fused_attn_half(
                 windows, lng1, lnb1, wqkv, bqkv, bias, ids, wproj, bproj,
                 gf1, gb1, scale, self.num_heads, lam, gamma=gamma1,
+                post_norm=self.post_norm,
             )
             x = window_reverse(out_windows, self.window, (d, h, w))
             if shifted:
@@ -958,6 +960,7 @@ class SwinBlock3D(nn.Module):
                     packed[v], lng1, lnb1, wqkv, bqkv, bias_packed[v],
                     pids[v][None], wproj, bproj, gf1, gb1, scale,
                     self.num_heads, lam, gamma=gamma1,
+                    post_norm=self.post_norm,
                 )
                 for v in range(pk.shape[0])
             ]
@@ -988,7 +991,7 @@ class SwinBlock3D(nn.Module):
             out = fused_ln_mlp(
                 flat.reshape(b * (rows + pad_rows), c),
                 lng2, lnb2, w1, b1, w2, b2, gf2, gb2, tile, lam,
-                gamma=gamma2,
+                gamma=gamma2, post_norm=self.post_norm,
             ).reshape(b, rows + pad_rows, c)
             if pad_rows:
                 out = out[:, :rows]

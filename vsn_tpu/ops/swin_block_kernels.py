@@ -221,18 +221,24 @@ def _mmw(a, w, w_axis=0):
 def _attn_fwd_kernel(gf_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
                      bqkv_ref, bias_ref, wproj_ref, bproj_ref, gamma_ref,
                      out_ref, *, scale, n_heads, lam, nw, wb, shared_ids,
-                     has_bias, has_ls):
+                     has_bias, has_ls, post_norm):
     """Window-batched flat form: LN/qkv/proj run ONCE on the [WB*N, C] token
     matrix (amortizing program launches and growing the matmul M dim);
     attention stays per-slot 2D matmuls in an unrolled loop (batched 3D dots
-    measured slower than 2D on Mosaic)."""
+    measured slower than 2D on Mosaic). ``post_norm`` moves norm1 from the
+    block input to the branch output (reference post-norm variant,
+    swin_transformer_3d.py:202-382): qkv reads raw x and LN applies to the
+    proj output before LayerScale/gains."""
     n = x_ref.shape[1]
     cdt = _mm_dtype(x_ref.dtype)
     gf = _slot_gains(gf_ref, pl.program_id(0), wb, nw)
     masks = _slot_mask_list(ids_ref, shared_ids, wb)
     bias = bias_ref if has_bias else None
     x = x_ref[...].reshape(wb * n, -1).astype(jnp.float32)
-    y, _, _ = _ln_fwd(x, lng_ref[0], lnb_ref[0])
+    if post_norm:
+        y = x
+    else:
+        y, _, _ = _ln_fwd(x, lng_ref[0], lnb_ref[0])
     qkv = _mmw(y.astype(cdt), wqkv_ref[...].astype(cdt)) + bqkv_ref[0]
     aos = [
         _heads_attention_fwd(
@@ -242,6 +248,8 @@ def _attn_fwd_kernel(gf_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
     ]
     ao = aos[0] if wb == 1 else jnp.concatenate(aos, axis=0)
     branch = _mmw(ao.astype(cdt), wproj_ref[...].astype(cdt)) + bproj_ref[0]
+    if post_norm:
+        branch, _, _ = _ln_fwd(branch, lng_ref[0], lnb_ref[0])
     if has_ls:
         branch = branch * gamma_ref[0]
     out = lam * x + _apply_gains(gf, branch, n)
@@ -290,7 +298,7 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
                      do_ref, dx_ref, dlng_ref, dlnb_ref, dwqkv_ref,
                      dbqkv_ref, dbias_ref, dwproj_ref, dbproj_ref,
                      dgamma_ref, *, scale, n_heads, lam, nw, wb, shared_ids,
-                     has_bias, has_ls):
+                     has_bias, has_ls, post_norm):
     """Flat-form backward mirroring ``_attn_fwd_kernel``: LN/qkv/proj grads
     run once on the [WB*N, C] token matrix (outer products stay 2D with the
     token axis as the contraction dim); the attention chain stays per-slot
@@ -315,7 +323,10 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
     cdt = _mm_dtype(x_ref.dtype)
     x = x_ref[...].reshape(wb * n, -1).astype(jnp.float32)
     lng = lng_ref[0]
-    y, xhat, rstd = _ln_fwd(x, lng, lnb_ref[0])
+    if post_norm:
+        y, xhat, rstd = x, None, None
+    else:
+        y, xhat, rstd = _ln_fwd(x, lng, lnb_ref[0])
     qkv = _mmw(y.astype(cdt), wqkv_ref[...].astype(cdt)) + bqkv_ref[0]
     slot_aos, slot_probs = [], []
     for s in range(wb):
@@ -331,21 +342,37 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
     do_res = do_ref[...].reshape(wb * n, -1).astype(jnp.float32)
     do = _apply_gains(_slot_gains(gb_ref, pl.program_id(0), wb, nw),
                       do_res, n)
-    # LayerScale: with M = ao^T @ do and s = sum(do), the gamma'd grads are
-    # dwproj = M (*) gamma, dbproj = s (*) gamma, dgamma = colsum(wproj (*)
-    # M) + bproj (*) s — no branch recompute needed.
-    proj_m = _mm(ao.astype(cdt), do.astype(cdt), 0, 0)
-    proj_s = jnp.sum(do, axis=0)
-    if has_ls:
-        gamma = gamma_ref[0]
-        dgamma_ref[0] += (jnp.sum(wproj_ref[...] * proj_m, axis=0)
-                          + bproj_ref[0, :] * proj_s)
-        dwproj_ref[...] += proj_m * gamma
-        dbproj_ref[0] += proj_s * gamma
-        do = do * gamma
+    if post_norm:
+        # branch -> LN -> [gamma] -> gains: recompute the proj output, run
+        # LN stats on it, then chain do through gamma and the LN backward.
+        branch = _mmw(ao.astype(cdt), wproj_ref[...].astype(cdt)) \
+            + bproj_ref[0]
+        bn, bn_xhat, bn_rstd = _ln_fwd(branch, lng, lnb_ref[0])
+        if has_ls:
+            dgamma_ref[0] += jnp.sum(do * bn, axis=0)
+            do = do * gamma_ref[0]
+        dbranch, dg_pn, db_pn = _ln_bwd(do, lng, bn_xhat, bn_rstd)
+        dlng_ref[0] += dg_pn
+        dlnb_ref[0] += db_pn
+        dwproj_ref[...] += _mm(ao.astype(cdt), dbranch.astype(cdt), 0, 0)
+        dbproj_ref[0] += jnp.sum(dbranch, axis=0)
+        do = dbranch
     else:
-        dwproj_ref[...] += proj_m
-        dbproj_ref[0] += proj_s
+        # LayerScale: with M = ao^T @ do and s = sum(do), the gamma'd
+        # grads are dwproj = M (*) gamma, dbproj = s (*) gamma, dgamma =
+        # colsum(wproj (*) M) + bproj (*) s — no branch recompute needed.
+        proj_m = _mm(ao.astype(cdt), do.astype(cdt), 0, 0)
+        proj_s = jnp.sum(do, axis=0)
+        if has_ls:
+            gamma = gamma_ref[0]
+            dgamma_ref[0] += (jnp.sum(wproj_ref[...] * proj_m, axis=0)
+                              + bproj_ref[0, :] * proj_s)
+            dwproj_ref[...] += proj_m * gamma
+            dbproj_ref[0] += proj_s * gamma
+            do = do * gamma
+        else:
+            dwproj_ref[...] += proj_m
+            dbproj_ref[0] += proj_s
     dao = _mmw(do.astype(cdt), wproj_ref[...].astype(cdt), w_axis=1)
 
     dbias_acc = [None] * n_heads
@@ -364,9 +391,12 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
     dwqkv_ref[...] += _mm(y.astype(cdt), dqkv.astype(cdt), 0, 0)
     dbqkv_ref[0] += jnp.sum(dqkv, axis=0)
     dy = _mmw(dqkv.astype(cdt), wqkv_ref[...].astype(cdt), w_axis=1)
-    dx, dg, db = _ln_bwd(dy, lng, xhat, rstd)
-    dlng_ref[0] += dg
-    dlnb_ref[0] += db
+    if post_norm:
+        dx = dy
+    else:
+        dx, dg, db = _ln_bwd(dy, lng, xhat, rstd)
+        dlng_ref[0] += dg
+        dlnb_ref[0] += db
     dx_ref[...] = (lam * do_res + dx).reshape(x_ref.shape).astype(
         dx_ref.dtype)
 
@@ -430,7 +460,8 @@ def _attn_specs(n, c, n_heads, w, nsamp, wb, has_bias=True):
 
 
 def _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
-                   gf, gb, scale, n_heads, lam, gamma=None):
+                   gf, gb, scale, n_heads, lam, gamma=None,
+                   post_norm=False):
     bw, n, c = x.shape
     w = ids.shape[0]
     nsamp = gf.shape[0]
@@ -445,7 +476,7 @@ def _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
         functools.partial(
             _attn_fwd_kernel, scale=scale, n_heads=n_heads, lam=lam,
             nw=nw, wb=wb, shared_ids=(w == 1), has_bias=has_bias,
-            has_ls=has_ls,
+            has_ls=has_ls, post_norm=post_norm,
         ),
         grid=(bw // wb,),
         in_specs=[sp["gain"], sp["ids"], sp["x"], sp["lnv"], sp["lnv"],
@@ -462,7 +493,7 @@ def _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
 
 def _attn_half_bwd_arrays(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj,
                           bproj, gamma_arg, gb, do, scale, n_heads, lam,
-                          has_bias, has_ls):
+                          has_bias, has_ls, post_norm):
     """Backward pallas call on concrete arrays; returns the 9 grad arrays
     (dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj, dgamma)."""
     bw, n, c = x.shape
@@ -477,7 +508,7 @@ def _attn_half_bwd_arrays(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj,
         functools.partial(
             _attn_bwd_kernel, scale=scale, n_heads=n_heads, lam=lam,
             nw=nw, wb=wb, shared_ids=(w == 1), has_bias=has_bias,
-            has_ls=has_ls,
+            has_ls=has_ls, post_norm=post_norm,
         ),
         grid=(bw // wb,),
         in_specs=[sp["gain"], sp["ids"], sp["x"], sp["lnv"], sp["lnv"],
@@ -506,7 +537,7 @@ def _attn_half_bwd_arrays(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj,
             dgamma.reshape(c))
 
 
-def _attn_half_bwd(scale, n_heads, lam, res, do):
+def _attn_half_bwd(scale, n_heads, lam, post_norm, res, do):
     x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj, gf, gb, gamma = res
     has_bias = bias is not None
     has_ls = gamma is not None
@@ -514,14 +545,15 @@ def _attn_half_bwd(scale, n_heads, lam, res, do):
     c = x.shape[-1]
     gamma_arg = gamma if has_ls else jnp.zeros((c,), jnp.float32)
     if len(jax.devices()) > 1:
-        fn = _attn_bwd_sharded(scale, n_heads, lam, has_bias, has_ls)
+        fn = _attn_bwd_sharded(scale, n_heads, lam, has_bias, has_ls,
+                               post_norm)
         grads = fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj,
                    gamma_arg, gb.reshape(-1), do)
     else:
         grads = _attn_half_bwd_arrays(
             x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj,
             gamma_arg, gb.reshape(-1), do, scale, n_heads, lam, has_bias,
-            has_ls,
+            has_ls, post_norm,
         )
     dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj, dgamma = grads
     return (dx, dlng, dlnb, dwqkv, dbqkv, dbias if has_bias else None, None,
@@ -613,13 +645,14 @@ _MLP_BWD_RULE = ("t c, c1, c2, c3 hd, hd1, hd2 c4, c5, c6, b, t c -> "
 
 
 @functools.lru_cache(maxsize=None)
-def _attn_fwd_sharded(scale, n_heads, lam, has_bias, has_ls):
+def _attn_fwd_sharded(scale, n_heads, lam, has_bias, has_ls,
+                      post_norm=False):
     def fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj, gamma_arg,
            gf, gb):
         return _attn_half_fwd(
             x, lng, lnb, wqkv, bqkv, bias_arg if has_bias else None, ids,
             wproj, bproj, gf, gb, scale, n_heads, lam,
-            gamma=gamma_arg if has_ls else None,
+            gamma=gamma_arg if has_ls else None, post_norm=post_norm,
         )
 
     return _spmd_wrap(fn, lambda b_ax: fn, batched=(0, 10, 11),
@@ -627,12 +660,14 @@ def _attn_fwd_sharded(scale, n_heads, lam, has_bias, has_ls):
 
 
 @functools.lru_cache(maxsize=None)
-def _attn_bwd_sharded(scale, n_heads, lam, has_bias, has_ls):
+def _attn_bwd_sharded(scale, n_heads, lam, has_bias, has_ls,
+                      post_norm=False):
     def fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj, gamma_arg,
            gb, do):
         return _attn_half_bwd_arrays(
             x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj,
             gamma_arg, gb, do, scale, n_heads, lam, has_bias, has_ls,
+            post_norm,
         )
 
     def make_lower(b_ax):
@@ -649,20 +684,21 @@ def _attn_bwd_sharded(scale, n_heads, lam, has_bias, has_ls):
 
 
 @functools.lru_cache(maxsize=None)
-def _mlp_fwd_sharded(tile, lam, has_ls):
+def _mlp_fwd_sharded(tile, lam, has_ls, post_norm=False):
     def fn(x, lng, lnb, w1, b1, w2, b2, gamma_arg, gf, gb):
         return _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam,
-                           gamma=gamma_arg if has_ls else None)
+                           gamma=gamma_arg if has_ls else None,
+                           post_norm=post_norm)
 
     return _spmd_wrap(fn, lambda b_ax: fn, batched=(0, 8, 9),
                       n_out_batched=1, rule=_MLP_FWD_RULE)
 
 
 @functools.lru_cache(maxsize=None)
-def _mlp_bwd_sharded(tile, lam, has_ls):
+def _mlp_bwd_sharded(tile, lam, has_ls, post_norm=False):
     def fn(x, lng, lnb, w1, b1, w2, b2, gamma_arg, gb, do):
         return _ln_mlp_bwd_arrays(x, lng, lnb, w1, b1, w2, b2, gamma_arg,
-                                  gb, do, tile, lam, has_ls)
+                                  gb, do, tile, lam, has_ls, post_norm)
 
     def make_lower(b_ax):
         def lower(*args):
@@ -678,23 +714,27 @@ def _mlp_bwd_sharded(tile, lam, has_ls):
 
 
 def _attn_half_fwd_dispatch(x, lng, lnb, wqkv, bqkv, bias, ids, wproj,
-                            bproj, gf, gb, gamma, scale, n_heads, lam):
+                            bproj, gf, gb, gamma, scale, n_heads, lam,
+                            post_norm):
     has_ls = gamma is not None
     if len(jax.devices()) > 1:
         has_bias = bias is not None
         bias_arg = bias if has_bias else jnp.zeros((1, 1, 1), jnp.float32)
         c = x.shape[-1]
         gamma_arg = gamma if has_ls else jnp.zeros((c,), jnp.float32)
-        fn = _attn_fwd_sharded(scale, n_heads, lam, has_bias, has_ls)
+        fn = _attn_fwd_sharded(scale, n_heads, lam, has_bias, has_ls,
+                               post_norm)
         return fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj,
                   gamma_arg, gf.reshape(-1), gb.reshape(-1))
     return _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
-                          gf, gb, scale, n_heads, lam, gamma=gamma)
+                          gf, gb, scale, n_heads, lam, gamma=gamma,
+                          post_norm=post_norm)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12, 13, 15))
 def fused_attn_half(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
-                    gf, gb, scale, n_heads, lam, gamma=None):
+                    gf, gb, scale, n_heads, lam, gamma=None,
+                    post_norm=False):
     """lam * x + gf[s] * (gamma (*)) proj(window_attention(qkv(LN(x)))).
 
     Args:
@@ -713,18 +753,21 @@ def fused_attn_half(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
             otherwise; lam = 0.0 yields the bare branch output).
         gamma: optional [C] f32 learnable LayerScale applied to the branch
             BEFORE the gains (reference ResidualBranch order); None = off.
+        post_norm: static — norm1 moves from the block input to the branch
+            output (reference post-norm variant).
     Returns: [BW, N, C] in x.dtype.
     """
     return _attn_half_fwd_dispatch(x, lng, lnb, wqkv, bqkv, bias, ids,
                                    wproj, bproj, gf, gb, gamma,
-                                   scale, n_heads, lam)
+                                   scale, n_heads, lam, post_norm)
 
 
 def _attn_half_vjp_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
-                       gf, gb, scale, n_heads, lam, gamma=None):
+                       gf, gb, scale, n_heads, lam, gamma=None,
+                       post_norm=False):
     out = _attn_half_fwd_dispatch(x, lng, lnb, wqkv, bqkv, bias, ids,
                                   wproj, bproj, gf, gb, gamma,
-                                  scale, n_heads, lam)
+                                  scale, n_heads, lam, post_norm)
     return out, (x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj, gf, gb,
                  gamma)
 
@@ -738,10 +781,13 @@ fused_attn_half.defvjp(_attn_half_vjp_fwd, _attn_half_bwd)
 
 def _mlp_fwd_kernel(gf_ref, x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
                     b2_ref, gamma_ref, out_ref, *, lam, tiles_per_sample,
-                    has_ls):
+                    has_ls, post_norm):
     cdt = _mm_dtype(x_ref.dtype)
     x = x_ref[...].astype(jnp.float32)                      # [T, C]
-    y, _, _ = _ln_fwd(x, lng_ref[0], lnb_ref[0])
+    if post_norm:
+        y = x
+    else:
+        y, _, _ = _ln_fwd(x, lng_ref[0], lnb_ref[0])
     h1 = jax.lax.dot_general(
         y.astype(cdt), w1_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -751,6 +797,8 @@ def _mlp_fwd_kernel(gf_ref, x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
         h.astype(cdt), w2_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b2_ref[0]
+    if post_norm:
+        branch, _, _ = _ln_fwd(branch, lng_ref[0], lnb_ref[0])
     if has_ls:
         branch = branch * gamma_ref[0]
     gf = gf_ref[pl.program_id(0) // tiles_per_sample, 0]
@@ -761,7 +809,8 @@ def _mlp_fwd_kernel(gf_ref, x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
 def _mlp_bwd_kernel(gb_ref, x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
                     b2_ref, gamma_ref, do_ref,
                     dx_ref, dlng_ref, dlnb_ref, dw1_ref, db1_ref, dw2_ref,
-                    db2_ref, dgamma_ref, *, lam, tiles_per_sample, has_ls):
+                    db2_ref, dgamma_ref, *, lam, tiles_per_sample, has_ls,
+                    post_norm):
     first = pl.program_id(0) == 0
 
     @pl.when(first)
@@ -777,7 +826,10 @@ def _mlp_bwd_kernel(gb_ref, x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     cdt = _mm_dtype(x_ref.dtype)
     x = x_ref[...].astype(jnp.float32)
     lng = lng_ref[0]
-    y, xhat, rstd = _ln_fwd(x, lng, lnb_ref[0])
+    if post_norm:
+        y, xhat, rstd = x, None, None
+    else:
+        y, xhat, rstd = _ln_fwd(x, lng, lnb_ref[0])
     h1 = jax.lax.dot_general(
         y.astype(cdt), w1_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -786,24 +838,44 @@ def _mlp_bwd_kernel(gb_ref, x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
 
     do_res = do_ref[...].astype(jnp.float32)
     do = gb_ref[pl.program_id(0) // tiles_per_sample, 0] * do_res
-    # LayerScale (see the attn bwd kernel): with M = h^T @ do and
-    # s = sum(do), dw2 = M (*) gamma, db2 = s (*) gamma and
-    # dgamma = colsum(w2 (*) M) + b2 (*) s — no branch recompute.
-    fc2_m = jax.lax.dot_general(
-        h.astype(cdt), do.astype(cdt), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    fc2_s = jnp.sum(do, axis=0)
-    if has_ls:
-        gamma = gamma_ref[0]
-        dgamma_ref[0] += (jnp.sum(w2_ref[...] * fc2_m, axis=0)
-                          + b2_ref[0, :] * fc2_s)
-        dw2_ref[...] += fc2_m * gamma
-        db2_ref[0] += fc2_s * gamma
-        do = do * gamma
+    if post_norm:
+        # branch -> LN2 -> [gamma] -> gains (see the attn bwd kernel)
+        branch = jax.lax.dot_general(
+            h.astype(cdt), w2_ref[...].astype(cdt), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2_ref[0]
+        bn, bn_xhat, bn_rstd = _ln_fwd(branch, lng, lnb_ref[0])
+        if has_ls:
+            dgamma_ref[0] += jnp.sum(do * bn, axis=0)
+            do = do * gamma_ref[0]
+        dbranch, dg_pn, db_pn = _ln_bwd(do, lng, bn_xhat, bn_rstd)
+        dlng_ref[0] += dg_pn
+        dlnb_ref[0] += db_pn
+        dw2_ref[...] += jax.lax.dot_general(
+            h.astype(cdt), dbranch.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db2_ref[0] += jnp.sum(dbranch, axis=0)
+        do = dbranch
     else:
-        dw2_ref[...] += fc2_m
-        db2_ref[0] += fc2_s
+        # LayerScale (see the attn bwd kernel): with M = h^T @ do and
+        # s = sum(do), dw2 = M (*) gamma, db2 = s (*) gamma and
+        # dgamma = colsum(w2 (*) M) + b2 (*) s — no branch recompute.
+        fc2_m = jax.lax.dot_general(
+            h.astype(cdt), do.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        fc2_s = jnp.sum(do, axis=0)
+        if has_ls:
+            gamma = gamma_ref[0]
+            dgamma_ref[0] += (jnp.sum(w2_ref[...] * fc2_m, axis=0)
+                              + b2_ref[0, :] * fc2_s)
+            dw2_ref[...] += fc2_m * gamma
+            db2_ref[0] += fc2_s * gamma
+            do = do * gamma
+        else:
+            dw2_ref[...] += fc2_m
+            db2_ref[0] += fc2_s
     dh = jax.lax.dot_general(
         do.astype(cdt), w2_ref[...].astype(cdt), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -818,9 +890,12 @@ def _mlp_bwd_kernel(gb_ref, x_ref, lng_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
         dh1.astype(cdt), w1_ref[...].astype(cdt), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dx, dg, db = _ln_bwd(dy, lng, xhat, rstd)
-    dlng_ref[0] += dg
-    dlnb_ref[0] += db
+    if post_norm:
+        dx = dy
+    else:
+        dx, dg, db = _ln_bwd(dy, lng, xhat, rstd)
+        dlng_ref[0] += dg
+        dlnb_ref[0] += db
     dx_ref[...] = (lam * do_res + dx).astype(dx_ref.dtype)
 
 
@@ -872,7 +947,8 @@ def _mlp_specs(tile, c, hid, nsamp):
     )
 
 
-def _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam, gamma=None):
+def _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam, gamma=None,
+                post_norm=False):
     t, c = x.shape
     hid = w1.shape[1]
     nsamp = gf.shape[0]
@@ -882,7 +958,8 @@ def _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam, gamma=None):
     sp = _mlp_specs(tile, c, hid, nsamp)
     return pl.pallas_call(
         functools.partial(_mlp_fwd_kernel, lam=lam,
-                          tiles_per_sample=tiles_per_sample, has_ls=has_ls),
+                          tiles_per_sample=tiles_per_sample, has_ls=has_ls,
+                          post_norm=post_norm),
         grid=(t // tile,),
         in_specs=[sp["gain"], sp["x"], sp["lnv"], sp["lnv"], sp["w1"],
                   sp["b1"], sp["w2"], sp["b2"], sp["lnv"]],
@@ -895,7 +972,7 @@ def _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam, gamma=None):
 
 
 def _ln_mlp_bwd_arrays(x, lng, lnb, w1, b1, w2, b2, gamma_arg, gb, do,
-                       tile, lam, has_ls):
+                       tile, lam, has_ls, post_norm):
     """Backward pallas call on concrete arrays; returns the 8 grad arrays
     (dx, dlng, dlnb, dw1, db1, dw2, db2, dgamma)."""
     t, c = x.shape
@@ -906,7 +983,8 @@ def _ln_mlp_bwd_arrays(x, lng, lnb, w1, b1, w2, b2, gamma_arg, gb, do,
     f32 = jnp.float32
     dx, dlng, dlnb, dw1, db1, dw2, db2, dgamma = pl.pallas_call(
         functools.partial(_mlp_bwd_kernel, lam=lam,
-                          tiles_per_sample=tiles_per_sample, has_ls=has_ls),
+                          tiles_per_sample=tiles_per_sample, has_ls=has_ls,
+                          post_norm=post_norm),
         grid=(t // tile,),
         in_specs=[sp["gain"], sp["x"], sp["lnv"], sp["lnv"], sp["w1"],
                   sp["b1"], sp["w2"], sp["b2"], sp["lnv"], sp["x"]],
@@ -930,26 +1008,27 @@ def _ln_mlp_bwd_arrays(x, lng, lnb, w1, b1, w2, b2, gamma_arg, gb, do,
             dw2, db2.reshape(c), dgamma.reshape(c))
 
 
-def _ln_mlp_bwd(tile, lam, res, do):
+def _ln_mlp_bwd(tile, lam, post_norm, res, do):
     x, lng, lnb, w1, b1, w2, b2, gf, gb, gamma = res
     has_ls = gamma is not None
     gamma_arg = (gamma if has_ls
                  else jnp.zeros((x.shape[-1],), jnp.float32))
     if len(jax.devices()) > 1:
-        fn = _mlp_bwd_sharded(tile, lam, has_ls)
+        fn = _mlp_bwd_sharded(tile, lam, has_ls, post_norm)
         grads = fn(x, lng, lnb, w1, b1, w2, b2, gamma_arg,
                    gb.reshape(-1), do)
     else:
         grads = _ln_mlp_bwd_arrays(x, lng, lnb, w1, b1, w2, b2, gamma_arg,
-                                   gb.reshape(-1), do, tile, lam, has_ls)
+                                   gb.reshape(-1), do, tile, lam, has_ls,
+                                   post_norm)
     *main, dgamma = grads
     return (*main, jnp.zeros_like(gf), jnp.zeros_like(gb),
             dgamma if has_ls else None)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 12))
 def fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam,
-                 gamma=None):
+                 gamma=None, post_norm=False):
     """lam * x + gf[s] * (gamma (*)) fc2(gelu_exact(fc1(LN(x)))), tiled.
 
     Args:
@@ -962,29 +1041,31 @@ def fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam,
         tile: static row-tile size (use ``mlp_tile_rows``).
         lam: static residual x-gain (0.0 yields the bare branch).
         gamma: optional [C] f32 LayerScale on the branch (before gains).
+        post_norm: static — norm2 moves from the block input to the branch
+            output (reference post-norm variant).
     Returns: [T, C] in x.dtype.
     """
     return _ln_mlp_fwd_dispatch(x, lng, lnb, w1, b1, w2, b2, gf, gb,
-                                gamma, tile, lam)
+                                gamma, tile, lam, post_norm)
 
 
 def _ln_mlp_fwd_dispatch(x, lng, lnb, w1, b1, w2, b2, gf, gb, gamma,
-                         tile, lam):
+                         tile, lam, post_norm):
     has_ls = gamma is not None
     if len(jax.devices()) > 1:
         gamma_arg = (gamma if has_ls
                      else jnp.zeros((x.shape[-1],), jnp.float32))
-        fn = _mlp_fwd_sharded(tile, lam, has_ls)
+        fn = _mlp_fwd_sharded(tile, lam, has_ls, post_norm)
         return fn(x, lng, lnb, w1, b1, w2, b2, gamma_arg, gf.reshape(-1),
                   gb.reshape(-1))
     return _ln_mlp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam,
-                       gamma=gamma)
+                       gamma=gamma, post_norm=post_norm)
 
 
 def _ln_mlp_vjp_fwd(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam,
-                    gamma=None):
+                    gamma=None, post_norm=False):
     return (_ln_mlp_fwd_dispatch(x, lng, lnb, w1, b1, w2, b2, gf, gb,
-                                 gamma, tile, lam),
+                                 gamma, tile, lam, post_norm),
             (x, lng, lnb, w1, b1, w2, b2, gf, gb, gamma))
 
 
