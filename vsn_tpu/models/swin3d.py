@@ -898,10 +898,8 @@ class SwinBlock3D(nn.Module):
             # Layout (incl. any roll) is owned by BasicLayer3D; x IS the
             # window tensor and the residual stream stays window-ordered
             # (the MLP half is token-pointwise, so no reverse is needed).
-            if region_ids is None:
-                ids = jnp.zeros((1, n), jnp.int32)
-            else:
-                ids = region_ids.astype(jnp.int32)
+            ids = (None if region_ids is None
+                   else region_ids.astype(jnp.int32))
             x = fused_attn_half(
                 x, lng1, lnb1, wqkv, bqkv, bias, ids, wproj, bproj,
                 gf1, gb1, scale, self.num_heads, lam, gamma=gamma1,
@@ -921,10 +919,8 @@ class SwinBlock3D(nn.Module):
                     h_in, (-self.shift[0], -self.shift[1], -self.shift[2])
                 )
             windows = window_partition(h_in, self.window)  # raw, pre-norm
-            if region_ids is None:
-                ids = jnp.zeros((1, n), jnp.int32)
-            else:
-                ids = region_ids.astype(jnp.int32)
+            ids = (None if region_ids is None
+                   else region_ids.astype(jnp.int32))
             out_windows = fused_attn_half(
                 windows, lng1, lnb1, wqkv, bqkv, bias, ids, wproj, bproj,
                 gf1, gb1, scale, self.num_heads, lam, gamma=gamma1,

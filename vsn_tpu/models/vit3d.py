@@ -264,7 +264,7 @@ class ViTBlock(nn.Module):
         beta = self.stable_beta if self.enable_stable else 1.0
         gf, gb = gf * beta, gb * beta
         lam = float(self.stable_lam) if self.enable_stable else 1.0
-        ids = jnp.zeros((1, t), jnp.int32)
+        ids = None  # statically maskless full-sequence attention
         scale = self.dim_head**-0.5
         out = fused_attn_half(
             x, lng, lnb, wqkv, bqkv, None, ids, wproj, bproj,

@@ -150,7 +150,11 @@ def _slot_mask_list(ids_ref, shared_ids, wb):
     XLA path: _mask_from_ids uses NEG_INF=-1e9 where the reference (and the
     unfused path) add -100.0 — softmax weights underflow to ~0 either way,
     parity tests pass at 1e-4, and -1e9 keeps masked logits unambiguous
-    after the f32 bias adds."""
+    after the f32 bias adds. ``ids_ref`` None (statically maskless — the
+    unshifted-block / full-sequence ViT case) skips the mask build and the
+    per-head adds entirely (several [N, N] VPU passes per program)."""
+    if ids_ref is None:
+        return [None] * wb
     if shared_ids:
         m = _mask_from_ids(ids_ref[0, 0])
         return [m] * wb
@@ -181,7 +185,9 @@ def _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt,
         q = qkv[:, h * d:(h + 1) * d].astype(cdt)
         k = qkv[:, c + h * d:c + (h + 1) * d].astype(cdt)
         v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
-        s = _mm(q, k, 1, 1) * scale + mask                  # [N, N]
+        s = _mm(q, k, 1, 1) * scale                         # [N, N]
+        if mask is not None:
+            s = s + mask
         if bias_ref is not None:
             s = s + bias_ref[h]
         u = jnp.exp(jnp.minimum(s, 80.0))
@@ -221,7 +227,7 @@ def _mmw(a, w, w_axis=0):
 def _attn_fwd_kernel(gf_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
                      bqkv_ref, bias_ref, wproj_ref, bproj_ref, gamma_ref,
                      out_ref, *, scale, n_heads, lam, nw, wb, shared_ids,
-                     has_bias, has_ls, post_norm):
+                     has_bias, has_ls, post_norm, has_mask=True):
     """Window-batched flat form: LN/qkv/proj run ONCE on the [WB*N, C] token
     matrix (amortizing program launches and growing the matmul M dim);
     attention stays per-slot 2D matmuls in an unrolled loop (batched 3D dots
@@ -232,7 +238,7 @@ def _attn_fwd_kernel(gf_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
     n = x_ref.shape[1]
     cdt = _mm_dtype(x_ref.dtype)
     gf = _slot_gains(gf_ref, pl.program_id(0), wb, nw)
-    masks = _slot_mask_list(ids_ref, shared_ids, wb)
+    masks = _slot_mask_list(ids_ref if has_mask else None, shared_ids, wb)
     bias = bias_ref if has_bias else None
     x = x_ref[...].reshape(wb * n, -1).astype(jnp.float32)
     if post_norm:
@@ -298,14 +304,14 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
                      do_ref, dx_ref, dlng_ref, dlnb_ref, dwqkv_ref,
                      dbqkv_ref, dbias_ref, dwproj_ref, dbproj_ref,
                      dgamma_ref, *, scale, n_heads, lam, nw, wb, shared_ids,
-                     has_bias, has_ls, post_norm):
+                     has_bias, has_ls, post_norm, has_mask=True):
     """Flat-form backward mirroring ``_attn_fwd_kernel``: LN/qkv/proj grads
     run once on the [WB*N, C] token matrix (outer products stay 2D with the
     token axis as the contraction dim); the attention chain stays per-slot
     2D matmuls."""
     first = pl.program_id(0) == 0
     n = x_ref.shape[1]
-    masks = _slot_mask_list(ids_ref, shared_ids, wb)
+    masks = _slot_mask_list(ids_ref if has_mask else None, shared_ids, wb)
     bias = bias_ref if has_bias else None
 
     @pl.when(first)
@@ -463,6 +469,9 @@ def _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
                    gf, gb, scale, n_heads, lam, gamma=None,
                    post_norm=False):
     bw, n, c = x.shape
+    has_mask = ids is not None
+    if not has_mask:
+        ids = jnp.zeros((1, n), jnp.int32)
     w = ids.shape[0]
     nsamp = gf.shape[0]
     nw = bw // nsamp
@@ -476,7 +485,7 @@ def _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
         functools.partial(
             _attn_fwd_kernel, scale=scale, n_heads=n_heads, lam=lam,
             nw=nw, wb=wb, shared_ids=(w == 1), has_bias=has_bias,
-            has_ls=has_ls, post_norm=post_norm,
+            has_ls=has_ls, post_norm=post_norm, has_mask=has_mask,
         ),
         grid=(bw // wb,),
         in_specs=[sp["gain"], sp["ids"], sp["x"], sp["lnv"], sp["lnv"],
@@ -493,7 +502,7 @@ def _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
 
 def _attn_half_bwd_arrays(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj,
                           bproj, gamma_arg, gb, do, scale, n_heads, lam,
-                          has_bias, has_ls, post_norm):
+                          has_bias, has_ls, post_norm, has_mask=True):
     """Backward pallas call on concrete arrays; returns the 9 grad arrays
     (dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj, dgamma)."""
     bw, n, c = x.shape
@@ -508,7 +517,7 @@ def _attn_half_bwd_arrays(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj,
         functools.partial(
             _attn_bwd_kernel, scale=scale, n_heads=n_heads, lam=lam,
             nw=nw, wb=wb, shared_ids=(w == 1), has_bias=has_bias,
-            has_ls=has_ls, post_norm=post_norm,
+            has_ls=has_ls, post_norm=post_norm, has_mask=has_mask,
         ),
         grid=(bw // wb,),
         in_specs=[sp["gain"], sp["ids"], sp["x"], sp["lnv"], sp["lnv"],
@@ -541,19 +550,21 @@ def _attn_half_bwd(scale, n_heads, lam, post_norm, res, do):
     x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj, gf, gb, gamma = res
     has_bias = bias is not None
     has_ls = gamma is not None
+    has_mask = ids is not None
     bias_arg = bias if has_bias else jnp.zeros((1, 1, 1), jnp.float32)
     c = x.shape[-1]
     gamma_arg = gamma if has_ls else jnp.zeros((c,), jnp.float32)
+    ids_arg = ids if has_mask else jnp.zeros((1, x.shape[1]), jnp.int32)
     if len(jax.devices()) > 1:
         fn = _attn_bwd_sharded(scale, n_heads, lam, has_bias, has_ls,
-                               post_norm)
-        grads = fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj,
+                               post_norm, has_mask)
+        grads = fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids_arg, wproj, bproj,
                    gamma_arg, gb.reshape(-1), do)
     else:
         grads = _attn_half_bwd_arrays(
-            x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj,
+            x, lng, lnb, wqkv, bqkv, bias_arg, ids_arg, wproj, bproj,
             gamma_arg, gb.reshape(-1), do, scale, n_heads, lam, has_bias,
-            has_ls, post_norm,
+            has_ls, post_norm, has_mask,
         )
     dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj, dgamma = grads
     return (dx, dlng, dlnb, dwqkv, dbqkv, dbias if has_bias else None, None,
@@ -646,11 +657,12 @@ _MLP_BWD_RULE = ("t c, c1, c2, c3 hd, hd1, hd2 c4, c5, c6, b, t c -> "
 
 @functools.lru_cache(maxsize=None)
 def _attn_fwd_sharded(scale, n_heads, lam, has_bias, has_ls,
-                      post_norm=False):
+                      post_norm=False, has_mask=True):
     def fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj, gamma_arg,
            gf, gb):
         return _attn_half_fwd(
-            x, lng, lnb, wqkv, bqkv, bias_arg if has_bias else None, ids,
+            x, lng, lnb, wqkv, bqkv, bias_arg if has_bias else None,
+            ids if has_mask else None,
             wproj, bproj, gf, gb, scale, n_heads, lam,
             gamma=gamma_arg if has_ls else None, post_norm=post_norm,
         )
@@ -661,13 +673,13 @@ def _attn_fwd_sharded(scale, n_heads, lam, has_bias, has_ls,
 
 @functools.lru_cache(maxsize=None)
 def _attn_bwd_sharded(scale, n_heads, lam, has_bias, has_ls,
-                      post_norm=False):
+                      post_norm=False, has_mask=True):
     def fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj, gamma_arg,
            gb, do):
         return _attn_half_bwd_arrays(
             x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj,
             gamma_arg, gb, do, scale, n_heads, lam, has_bias, has_ls,
-            post_norm,
+            post_norm, has_mask,
         )
 
     def make_lower(b_ax):
@@ -717,14 +729,17 @@ def _attn_half_fwd_dispatch(x, lng, lnb, wqkv, bqkv, bias, ids, wproj,
                             bproj, gf, gb, gamma, scale, n_heads, lam,
                             post_norm):
     has_ls = gamma is not None
+    has_mask = ids is not None
     if len(jax.devices()) > 1:
         has_bias = bias is not None
         bias_arg = bias if has_bias else jnp.zeros((1, 1, 1), jnp.float32)
         c = x.shape[-1]
         gamma_arg = gamma if has_ls else jnp.zeros((c,), jnp.float32)
+        ids_arg = (ids if has_mask
+                   else jnp.zeros((1, x.shape[1]), jnp.int32))
         fn = _attn_fwd_sharded(scale, n_heads, lam, has_bias, has_ls,
-                               post_norm)
-        return fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj, bproj,
+                               post_norm, has_mask)
+        return fn(x, lng, lnb, wqkv, bqkv, bias_arg, ids_arg, wproj, bproj,
                   gamma_arg, gf.reshape(-1), gb.reshape(-1))
     return _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
                           gf, gb, scale, n_heads, lam, gamma=gamma,
@@ -743,7 +758,10 @@ def fused_attn_half(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
         wqkv: [C, 3C] f32; bqkv: [3C] f32 (zeros when QKV_BIAS is off).
         bias: [H, N, N] f32 relative-position bias, or None (no bias term
             and no dbias output — full-sequence ViT attention).
-        ids: [W, N] int32 region ids (program bw uses row bw % W).
+        ids: [W, N] int32 region ids (program bw uses row bw % W), or None
+            for statically maskless attention (unshifted blocks / ViT) —
+            skips the mask build + per-head adds (several [N, N] VPU
+            passes per program, fwd and bwd recompute).
         wproj: [C, C] f32; bproj: [C] f32.
         gf, gb: [B] f32 per-SAMPLE forward/backward branch gains
             (DropPath / ShakeDrop / stable-beta absorbed; RNG-driven,
