@@ -18,8 +18,15 @@ TPU-first design:
     of the slice-loop construction, with a golden-value test against the
     reference algorithm;
   * window partition/reverse are reshape+transpose only — they fuse away;
-  * attention is einsum-based with f32 softmax; the fused Pallas kernel in
-    vsn_tpu/ops/window_attention.py can be swapped in via use_pallas.
+  * with use_pallas on TPU, whole block halves run as fused Pallas kernels
+    (vsn_tpu/ops/swin_block_kernels.py: LN+qkv+attention+proj+residual and
+    LN+MLP+residual, custom VJPs, in-band LayerScale/post-norm) and
+    divisible stages keep a window-resident residual stream (partition
+    once, window_glue per shifted junction, reverse once — BasicLayer3D);
+    non-divisible stages bin-pack real tokens into full virtual windows
+    (packed layout). Otherwise attention is einsum-based with f32 softmax
+    (the standalone vsn_tpu/ops/window_attention.py kernel covers the
+    dropout/post-norm-ViT corners the block kernels exclude).
 """
 
 from __future__ import annotations
