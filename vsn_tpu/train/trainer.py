@@ -113,6 +113,10 @@ class Validator:
         gt_onehot = np.concatenate(gt_all)
         gt = gt_onehot.argmax(1)
 
+        # Validation loss recomputed host-side from the gathered softmax
+        # probs in float64 — intentionally NOT the device loss path (which
+        # runs from bf16 logits): the clip floor only guards log(0) and the
+        # dtype difference is ~1e-3 relative, below reporting granularity.
         logp = np.log(np.clip(probs, 1e-12, 1.0))
         k = probs.shape[1]
         targets = gt_onehot * (1 - self.smoothing) + self.smoothing / k
