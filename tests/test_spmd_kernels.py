@@ -139,3 +139,61 @@ def test_basiclayer_fused_stage_sharded_matches_unsharded(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
                                rtol=1e-5, atol=1e-5)
     assert out.sharding.spec[0] == "data", out.sharding
+
+
+def test_full_fused_train_step_integration(monkeypatch):
+    """Insurance against 6-minute TPU compile iterations: the EXACT fused
+    TPU program — SAM two-pass + grad-accum scan + EMA + MixUp + ShakeDrop
+    + nn.remat + window-resident stream + SPMD-wrapped kernels — compiles
+    and takes one finite step in interpret mode on the 8-device backend."""
+    import vsn_tpu.models.swin3d as swin3d
+    import vsn_tpu.ops.window_attention as wa
+    from vsn_tpu.config import load_config
+    from vsn_tpu.models import build_model
+    from vsn_tpu.train.schedules import lr_wd_schedules
+    from vsn_tpu.train.step import (
+        init_train_state, make_batch_transform, make_train_step,
+    )
+
+    monkeypatch.setattr(wa, "_on_tpu", lambda: False)
+    real_gate = swin3d.fused_block_gate
+
+    def gate(*args, **kw):
+        import unittest.mock as mock
+        with mock.patch.object(jax, "devices", lambda *a, **k: [
+                type("D", (), {"platform": "tpu"})()] if not a else None):
+            return real_gate(*args, **kw)
+
+    monkeypatch.setattr(swin3d, "fused_block_gate", gate)
+
+    cfg = load_config(extra_overrides=dict(
+        ARCHITECTURE="Swin", IMG_SIZE=[8, 8, 8], RESHAPE_SIZE=False,
+        PATCH_SHAPE=[2, 2, 2], EMBED_DIM=8, DEPTH=[2, 2], HEADS=[2, 2],
+        WINDOW_SIZE=[2, 2, 2], DISEASES=["CN", "AD", "FTD"],
+        BATCH_SIZE=2, EFFECTIVE_BATCH_SIZE=4, STEPS=2, LR_WARMUP=1,
+        WD_WARMUP=1, SEED=0, FP16=False, USE_SAM=True, USE_EMA=True,
+        USE_MIXUP=True, MIXUP_PROB=0.5, USE_SHAKEDROP=True,
+        STOCHASTIC_DEPTH_PROB=0.2, LABEL_SMOOTHING=0.1,
+        USE_CHECKPOINT=True,
+    ))
+    model = build_model(cfg)
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)), True)
+    state = init_train_state(cfg, params)
+    lr, wd = lr_wd_schedules(cfg)
+    step = jax.jit(make_train_step(model, cfg, lr, wd,
+                                   make_batch_transform(cfg)))
+    rng = np.random.default_rng(0)
+    k = cfg.num_classes
+    shape = (2, 2, 8, 8, 8, 1)
+    batch = {
+        "image": rng.standard_normal(shape).astype(np.float16),
+        "image2": rng.standard_normal(shape).astype(np.float16),
+        "label": np.eye(k, dtype=np.float32)[rng.integers(0, k, (2, 2))],
+        "label2": np.eye(k, dtype=np.float32)[rng.integers(0, k, (2, 2))],
+        "mix_lam": rng.beta(0.3, 0.3, (2, 2)).astype(np.float32),
+        "mix_apply": rng.random((2, 2)) < 0.5,
+        "mix_bounds": np.zeros((2, 2, 6), np.int32),
+    }
+    state, m = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(m["loss"]))
+    assert int(m["skipped"]) == 0
