@@ -25,29 +25,28 @@ if [ $? -ne 0 ]; then
 fi
 echo "TUNNEL UP $(date +%H:%M:%S)" | tee -a /tmp/tpu_queue_status.log
 
-# 1. Stem conv vs tap-unfolded + depthwise grouped vs shift (the new ops).
-run stem python scripts/perf_probe_stem.py resnet medvit dw
-
-# 2. ResNet / MedViT full train-step throughput with the new conv paths.
-run arch python scripts/perf_probe_arch.py resnet-5c medvit-5c
-
-# 3. Inter-block relayout glue: chain vs fused-corner formulation.
-run glue python scripts/perf_probe_glue.py
-
-# 4. Eval-matrix wall time: plain vs TTA eval rates, device-resident.
-run eval python scripts/perf_probe_eval.py
-
-# 4b. Per-kernel fused halves (isolates the softmax-thinning effect).
-run fused python scripts/perf_probe_fused.py
-
-# 5. Driver bench contract (Swin full stack) — confirms no regression.
+# 1. Driver bench contract (headline; validates all Swin changes).
 run bench python bench.py
 
-# 6. A/B the new kernel-softmax + window-resident stream at step level.
+# 2. Stem conv vs tap-unfolded + depthwise grouped vs shift.
+run stem python scripts/perf_probe_stem.py resnet medvit dw
+
+# 3. ResNet / MedViT full train-step throughput with the new convs.
+run arch python scripts/perf_probe_arch.py resnet-5c medvit-5c
+
+# 4. Per-kernel fused halves (isolates softmax thinning).
+run fused python scripts/perf_probe_fused.py
+
+# 5. Inter-block glue: chain vs fused-corner formulation.
+run glue python scripts/perf_probe_glue.py
+
+# 6. Eval-matrix wall time: plain vs TTA rates, device-resident.
+run eval python scripts/perf_probe_eval.py
+
+# 7. A/B: window-resident stream off; corner glue.
 run bench_wr0 env VSN_WINDOW_RESIDENT=0 python bench.py
 run bench_glue_corner env VSN_GLUE=corner python bench.py
 
-# 7. Micro-batch re-sweep with the leaner kernels (fewer VPU passes free
-#    VMEM/HBM headroom; optimum may have moved past 32).
+# 8. Micro-batch re-sweep with the leaner kernels.
 run bench_micro16 env VSN_BENCH_MICRO=16 python bench.py
 run bench_micro64 env VSN_BENCH_MICRO=64 python bench.py
