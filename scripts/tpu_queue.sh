@@ -9,6 +9,15 @@ cd "$(dirname "$0")/.."
 
 run() {
     local name=$1; shift
+    # Hard deadline (VSN_QUEUE_DEADLINE, epoch secs): never let a queue
+    # entry overlap the driver's own end-of-round bench run — two TPU
+    # processes crash the tunnel.
+    if [ -n "${VSN_QUEUE_DEADLINE:-}" ] \
+            && [ "$(date +%s)" -ge "$VSN_QUEUE_DEADLINE" ]; then
+        echo "=== $name SKIPPED (deadline) $(date +%H:%M:%S)" \
+            | tee -a /tmp/tpu_queue_status.log
+        return 0
+    fi
     echo "=== $name start $(date +%H:%M:%S)" | tee -a /tmp/tpu_queue_status.log
     timeout 2400 "$@" > "/tmp/q_${name}.log" 2>&1
     echo "=== $name rc=$? end $(date +%H:%M:%S)" | tee -a /tmp/tpu_queue_status.log
