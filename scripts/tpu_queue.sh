@@ -7,6 +7,9 @@
 set -u
 cd "$(dirname "$0")/.."
 
+# Default deadline for this round's driver bench window (overridable).
+: "${VSN_QUEUE_DEADLINE:=$(date -d "2026-08-18 09:30" +%s 2>/dev/null || echo 9999999999)}"
+
 run() {
     local name=$1; shift
     # Hard deadline (VSN_QUEUE_DEADLINE, epoch secs): never let a queue
