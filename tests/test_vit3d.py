@@ -162,3 +162,45 @@ def test_vit_fused_attn_droppath_rng_parity():
     # gating must actually vary across samples at this rate
     diff = np.abs(np.asarray(out_ref) - np.asarray(x)).sum(axis=(1, 2))
     assert (diff < 1e-6).any() or (diff > 1e-3).any()
+
+
+@pytest.mark.parametrize("with_ls", [False, True])
+def test_vit_fused_post_norm_matches_unfused(with_ls):
+    """ViT post-norm (attn_norm/ff_norm on the branch outputs) rides the
+    fused kernels: identical param tree, outputs, grads."""
+    import numpy as np
+    from tests.test_swin_block_kernels import _ForceTpu
+    from vsn_tpu.models.vit3d import ViTBlock
+
+    rng = np.random.default_rng(23)
+    b, t, c = 2, 17, 16
+    x = jnp.asarray(rng.standard_normal((b, t, c)), jnp.float32)
+
+    kw = dict(heads=2, dim_head=8, mlp_dim=32, drop_path_rate=0.0,
+              post_norm=True, layer_scale=with_ls,
+              layer_scale_init_value=0.1)
+    blk_ref = ViTBlock(**kw, use_pallas=False)
+    variables = blk_ref.init(jax.random.key(0), x, True)
+    variables = jax.tree.map(
+        lambda v: v + 0.05 * jnp.arange(v.size, dtype=v.dtype).reshape(
+            v.shape) / v.size if v.ndim == 1 else v, variables)
+    out_ref = blk_ref.apply(variables, x, True)
+
+    blk_fused = ViTBlock(**kw, use_pallas=True)
+    with _ForceTpu():
+        v_fused = blk_fused.init(jax.random.key(0), x, True)
+        assert jax.tree.structure(v_fused) == jax.tree.structure(variables)
+        out_fused = blk_fused.apply(variables, x, True)
+        g_fused = jax.grad(lambda p: blk_fused.apply(
+            {"params": p}, x, True).sum())(variables["params"])
+
+    g_ref = jax.grad(lambda p: blk_ref.apply(
+        {"params": p}, x, True).sum())(variables["params"])
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-4)
+    flat_r = dict(jax.tree.leaves_with_path(g_ref))
+    for path, leaf in jax.tree.leaves_with_path(g_fused):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_r[path]),
+            rtol=1e-3, atol=1e-3, err_msg=str(path),
+        )

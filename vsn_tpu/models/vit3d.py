@@ -126,12 +126,17 @@ class _ViTAttnParams(nn.Module):
     dim: int
     enable_stable: bool
     attn_dropout: float
+    post_norm: bool = False
 
     @nn.compact
     def __call__(self):
         from vsn_tpu.models.swin3d import _DenseParams, _NormParams
 
-        lng, lnb = _NormParams(self.dim, name="norm")()
+        # post-norm ViTAttention has no internal pre-norm; the block-level
+        # "attn_norm" module (declared by the caller) takes its place
+        lng = lnb = None
+        if not self.post_norm:
+            lng, lnb = _NormParams(self.dim, name="norm")()
         qkv_init = (
             stable_qkv_init(self.dim, self.attn_dropout)
             if self.enable_stable
@@ -234,7 +239,6 @@ class ViTBlock(nn.Module):
         inner = self.heads * self.dim_head
         return (
             self.use_pallas
-            and not self.post_norm
             and self.norm_layer_name in (None, False, "nn.LayerNorm",
                                          "LayerNorm")
             and self.dropout == 0.0
@@ -255,8 +259,13 @@ class ViTBlock(nn.Module):
         b, t, c = x.shape
         lng, lnb, wqkv, bqkv, wproj, bproj = _ViTAttnParams(
             dim=c, enable_stable=self.enable_stable,
-            attn_dropout=self.attention_dropout, name="attn",
+            attn_dropout=self.attention_dropout,
+            post_norm=self.post_norm, name="attn",
         )()
+        if self.post_norm:
+            from vsn_tpu.models.swin3d import _NormParams
+
+            lng, lnb = _NormParams(c, name="attn_norm")()
         rng, gamma = self._res_decor(c, deterministic, "res1")
         gf, gb = residual_branch_gains(
             b, self.drop_path_rate, False, (-1.0, 1.0), deterministic, rng
@@ -269,6 +278,7 @@ class ViTBlock(nn.Module):
         out = fused_attn_half(
             x, lng, lnb, wqkv, bqkv, None, ids, wproj, bproj,
             gf, gb, scale, self.heads, lam, gamma=gamma,
+            post_norm=self.post_norm,
         )
         return out.astype(self.dtype)
 
@@ -293,7 +303,6 @@ class ViTBlock(nn.Module):
         LayerNorm, zero dropout, no LayerScale, on TPU."""
         return (
             self.use_pallas
-            and not self.post_norm
             and self.norm_layer_name in (None, False, "nn.LayerNorm",
                                          "LayerNorm")
             and self.dropout == 0.0
@@ -316,7 +325,8 @@ class ViTBlock(nn.Module):
         )
 
         b, t, c = x.shape
-        lng, lnb = _NormParams(c, name="ff_prenorm")()
+        lng, lnb = _NormParams(
+            c, name="ff_norm" if self.post_norm else "ff_prenorm")()
         mlp_kernel_init = (
             normal_init(stable_vproj_std(c, self.dropout))
             if self.enable_stable
@@ -344,20 +354,23 @@ class ViTBlock(nn.Module):
             flat = xp.reshape(b * t_pad, c)
             out = fused_ln_mlp(
                 flat, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam,
-                gamma=gamma,
+                gamma=gamma, post_norm=self.post_norm,
             ).reshape(b, t_pad, c)[:, :t]
             return out.astype(self.dtype)
         # same math via XLA on the declared params
         from vsn_tpu.models.layers import gated_residual
         from vsn_tpu.models.swin3d import _apply_layernorm
 
-        y = _apply_layernorm(x, lng, lnb, self.dtype)
+        y = x if self.post_norm else _apply_layernorm(x, lng, lnb,
+                                                      self.dtype)
         h1 = jnp.dot(y, w1.astype(self.dtype)) + b1.astype(self.dtype)
         hact = nn.gelu(h1.astype(jnp.float32), approximate=False)
         ff = (
             jnp.dot(hact.astype(self.dtype), w2.astype(self.dtype))
             + b2.astype(self.dtype)
         )
+        if self.post_norm:
+            ff = _apply_layernorm(ff, lng, lnb, self.dtype)
         if gamma is not None:
             ff = (ff.astype(jnp.float32) * gamma).astype(self.dtype)
         return gated_residual(x, ff, gf, gb, lam).astype(self.dtype)
