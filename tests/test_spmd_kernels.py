@@ -34,18 +34,20 @@ def test_fused_attn_half_keeps_batch_sharding():
     bproj = jnp.zeros(c)
     gf = jnp.asarray(rng.uniform(0.5, 1.5, b), jnp.float32)
     gb = jnp.asarray(rng.uniform(0.5, 1.5, b), jnp.float32)
+    gamma = jnp.asarray(rng.uniform(0.5, 1.5, c), jnp.float32)
     scale = (c // heads) ** -0.5
 
-    def loss(xx, wq, wp):
+    def loss(xx, wq, wp, gm):
         out = fused_attn_half(xx, lng, lnb, wq, bqkv, bias, ids, wp, bproj,
-                              gf, gb, scale, heads, 1.0)
+                              gf, gb, scale, heads, 1.0, gamma=gm)
         return (out * out).sum(), out
 
-    grad_fn = jax.jit(jax.grad(loss, argnums=(0, 1, 2), has_aux=True))
-    (gx_ref, gwq_ref, gwp_ref), out_ref = grad_fn(x, wqkv, wproj)
+    grad_fn = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3), has_aux=True))
+    (gx_ref, gwq_ref, gwp_ref, gg_ref), out_ref = grad_fn(x, wqkv, wproj,
+                                                          gamma)
 
     xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
-    (gx, gwq, gwp), out = grad_fn(xs, wqkv, wproj)
+    (gx, gwq, gwp, gg), out = grad_fn(xs, wqkv, wproj, gamma)
 
     assert out.sharding.spec[0] == "data", out.sharding
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
@@ -56,8 +58,10 @@ def test_fused_attn_half_keeps_batch_sharding():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gwp), np.asarray(gwp_ref),
                                rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gg_ref),
+                               rtol=1e-4, atol=1e-5)
 
-    txt = grad_fn.lower(xs, wqkv, wproj).compile().as_text()
+    txt = grad_fn.lower(xs, wqkv, wproj, gamma).compile().as_text()
     big = bw * n * c  # replicating x/out would all-gather this many f32s
 
     gathered = [int(m) for m in re.findall(r"all-gather[^\n]*?f32\[(\d+)", txt)]
