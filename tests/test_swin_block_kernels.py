@@ -354,7 +354,10 @@ def test_window_glue_matches_chain_composition(monkeypatch):
     nwin = 2 * 2 * 2
     wins = jnp.asarray(
         rng.standard_normal((3 * nwin, 2 * 3 * 2, 5)), jnp.float32)
-    for t in [(1, 1, 1), (1, 2, 1), (0, 1, 0), (1, 0, 1)]:
+    # includes whole-window rolls and dim-s deltas (the shifted->unshifted
+    # junction case: t = dim - shift exceeds the window size)
+    for t in [(1, 1, 1), (1, 2, 1), (0, 1, 0), (1, 0, 1),
+              (2, 3, 2), (3, 5, 3), (2, 4, 0), (3, 0, 1)]:
         want = window_partition(
             roll3d(window_reverse(wins, window, dims),
                    tuple(-v for v in t)), window)
@@ -364,18 +367,23 @@ def test_window_glue_matches_chain_composition(monkeypatch):
 
 
 @pytest.mark.parametrize("use_winres", [True, False])
-def test_basiclayer_window_resident_matches_unfused(monkeypatch, use_winres):
+@pytest.mark.parametrize("depth,glue", [(2, "chain"), (3, "chain"),
+                                        (3, "corner"), (4, "chain")])
+def test_basiclayer_window_resident_matches_unfused(
+        monkeypatch, use_winres, depth, glue):
     """The window-resident stream (partition once, glue junctions, reverse
     once) is bit-compatible with the unfused stage: same params, same
-    outputs, same grads."""
+    outputs, same grads. depth>=3 exercises the shifted->unshifted junction
+    whose glue delta exceeds the window size (whole-window grid roll)."""
     from vsn_tpu.models.swin3d import BasicLayer3D
 
     monkeypatch.setenv("VSN_WINDOW_RESIDENT", "1" if use_winres else "0")
+    monkeypatch.setenv("VSN_GLUE", glue)
     dims, c = (4, 4, 4), 8
     rng = np.random.default_rng(11)
     x = jnp.asarray(rng.standard_normal((2, *dims, c)), jnp.float32)
-    kwargs = dict(depth=2, num_heads=2, window=(2, 2, 2),
-                  drop_path_rates=[0.0, 0.0], downsample=False,
+    kwargs = dict(depth=depth, num_heads=2, window=(2, 2, 2),
+                  drop_path_rates=[0.0] * depth, downsample=False,
                   mlp_ratio=2.0)
 
     ref = BasicLayer3D(**kwargs, use_pallas=False)

@@ -149,10 +149,17 @@ def window_glue(wins: jax.Array, window: Tuple[int, int, int],
     b = wins.shape[0] // int(np.prod(grids))
     x = wins.reshape(b, *grids, wd, wh, ww, c)
     for ax in range(3):
-        s = tshift[ax] % window[ax]
+        # Decompose the full-dim roll into whole-window grid-cell roll g
+        # plus an in-window part s (a shifted->unshifted junction has
+        # t = dim - s, i.e. g = grid - 1 wrapped cells + local w - s).
+        g, s = divmod(tshift[ax] % dims[ax], window[ax])
+        grid_ax, loc_ax = 1 + ax, 4 + ax
+        if g:
+            x = jnp.concatenate(
+                (jax.lax.slice_in_dim(x, g, x.shape[grid_ax], axis=grid_ax),
+                 jax.lax.slice_in_dim(x, 0, g, axis=grid_ax)), axis=grid_ax)
         if s == 0:
             continue
-        grid_ax, loc_ax = 1 + ax, 4 + ax
         up = jnp.concatenate(
             (jax.lax.slice_in_dim(x, 1, x.shape[grid_ax], axis=grid_ax),
              jax.lax.slice_in_dim(x, 0, 1, axis=grid_ax)), axis=grid_ax)
@@ -1207,9 +1214,14 @@ class BasicLayer3D(nn.Module):
             blk_shift = tuple(0 for _ in window) if i % 2 == 0 else shift
             region_ids = ids_noshift if i % 2 == 0 else ids_shift
             if use_winres and blk_shift != cur:
-                # bridge from layout rolled by -cur to rolled by -blk_shift
-                t = tuple((ns - cs) % ws
-                          for ns, cs, ws in zip(blk_shift, cur, window))
+                # bridge from layout rolled by -cur to rolled by -blk_shift.
+                # The delta is taken mod the FULL spatial dims, not mod the
+                # window: a shifted->unshifted junction needs roll(+s) =
+                # roll(-(dim-s)), and collapsing that to -(ws-s) would leave
+                # an uncompensated whole-window roll that later shifted
+                # blocks' region-id masks (and the stage output) inherit.
+                t = tuple((ns - cs) % dim
+                          for ns, cs, dim in zip(blk_shift, cur, (d, h, w)))
                 x = window_glue(x, window, (d, h, w), t)
                 cur = blk_shift
             x = block_cls(
