@@ -12,6 +12,7 @@ is the longitudinal baseline instead.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -33,11 +34,71 @@ from vsn_tpu.train.step import (
 )
 
 
+def _tpu_probe_ok(timeout_s: float) -> bool:
+    """Check backend liveness in a THROWAWAY subprocess: a dead axon tunnel
+    makes jax.devices() hang or raise, and a failed in-process init can get
+    cached — so never touch the backend in this process until a probe
+    succeeds."""
+    code = "import jax; d = jax.devices(); assert d and d[0].platform != 'cpu'"
+    try:
+        return (
+            subprocess.run(
+                [sys.executable, "-c", code],
+                timeout=timeout_s, capture_output=True,
+            ).returncode == 0
+        )
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+def wait_for_tpu(budget_s: float, probe=_tpu_probe_ok,
+                 interval_s: float = 30.0) -> bool:
+    """Poll the TPU backend until it answers or the budget runs out.
+
+    The axon tunnel provably flaps for hours (BENCH_r02 was one raw
+    JaxRuntimeError); a bounded retry window means the driver's single
+    sample per round tolerates a short outage instead of recording a
+    traceback."""
+    deadline = time.monotonic() + budget_s
+    while True:
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        if probe(min(150.0, max(10.0, remaining))):
+            return True
+        print(f"[bench] TPU backend not up, retrying "
+              f"({deadline - time.monotonic():.0f}s left)", file=sys.stderr)
+        time.sleep(min(interval_s, max(0.0, deadline - time.monotonic())))
+
+
+def _emit_unavailable(detail: str) -> None:
+    print(json.dumps({
+        "metric": "swin3d_5c_train_volumes_per_sec_per_chip_sam_ema",
+        "value": None,
+        "unit": "volumes/sec/chip",
+        "vs_baseline": None,
+        "error": "tpu_unavailable",
+        "detail": detail[-400:],
+    }))
+
+
 def main():
     from vsn_tpu.utils.cache import enable_compile_cache
 
     enable_compile_cache()
-    on_tpu = jax.devices()[0].platform != "cpu"
+    # CPU dev mode (JAX_PLATFORMS=cpu) skips the liveness gate; the default
+    # axon environment must prove the tunnel answers before this process
+    # touches the backend.
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        budget = float(os.environ.get("VSN_BENCH_TPU_WAIT_S", "600"))
+        if not wait_for_tpu(budget):
+            _emit_unavailable(f"no TPU backend within {budget:.0f}s")
+            return
+    try:
+        on_tpu = jax.devices()[0].platform != "cpu"
+    except Exception as exc:  # probe passed but in-process init lost a race
+        _emit_unavailable(f"backend init failed: {exc!r}")
+        return
     # North-star config: Swin-T 5c, full stabilization stack. On CPU (dev
     # boxes) shrink shapes so the bench still runs.
     if on_tpu:

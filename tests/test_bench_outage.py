@@ -1,0 +1,57 @@
+"""Bench resilience to the axon-tunnel outage class (BENCH_r02 was a raw
+JaxRuntimeError traceback): the retry window polls in subprocesses and a
+never-up backend yields ONE parseable diagnostic JSON line, not a stack."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def test_wait_for_tpu_retries_until_probe_passes():
+    import bench
+
+    calls = []
+
+    def probe(timeout_s):
+        calls.append(timeout_s)
+        return len(calls) >= 3
+
+    assert bench.wait_for_tpu(60, probe=probe, interval_s=0.01)
+    assert len(calls) == 3
+
+
+def test_wait_for_tpu_gives_up_at_budget():
+    import bench
+
+    calls = []
+
+    def probe(timeout_s):
+        calls.append(timeout_s)
+        return False
+
+    assert not bench.wait_for_tpu(0.05, probe=probe, interval_s=0.01)
+    assert calls  # at least one attempt before giving up
+
+
+def test_bench_emits_diagnostic_json_on_simulated_outage():
+    # PALLAS_AXON_POOL_IPS= makes sitecustomize skip axon registration, and
+    # JAX_PLATFORMS="" (not "cpu") keeps bench in expect-TPU mode — so the
+    # liveness probe sees a cpu-only backend and must report the outage.
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = ""
+    env["VSN_BENCH_TPU_WAIT_S"] = "1"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env, capture_output=True, text=True, timeout=300, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert line["error"] == "tpu_unavailable"
+    assert line["value"] is None
+    assert line["metric"].startswith("swin3d_5c_train")

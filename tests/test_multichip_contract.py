@@ -22,11 +22,14 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-def test_dryrun_multichip_inline():
+def test_dryrun_multichip_inline(monkeypatch):
     import __graft_entry__ as g
 
     # conftest configured JAX_PLATFORMS=cpu + 8 virtual devices, so the env
-    # check passes and this runs in-process (no subprocess spawn).
+    # check passes and this runs in-process (no subprocess spawn). The
+    # resident-path compile is opt-in (driver budget skips it) — exercise it
+    # here so the suite covers all three compiles.
+    monkeypatch.setenv("VSN_DRYRUN_RESIDENT", "1")
     assert g._cpu_env_ready(8)
     g.dryrun_multichip(8)
 
