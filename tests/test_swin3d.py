@@ -256,3 +256,12 @@ def test_patch_merging_conv_form_matches_concat_oracle():
     x_odd = jnp.asarray(rng.standard_normal((1, 5, 4, 3, 8)), jnp.float32)
     v2 = merge.init(jax.random.key(2), x_odd)
     assert merge.apply(v2, x_odd).shape == (1, 3, 2, 2, 16)
+
+    # poorly-centered activations: a large common offset must not degrade
+    # rstd (the one-pass E[x^2]-E[x]^2 variance cancelled catastrophically
+    # here; the centered two-pass form keeps full f32 precision)
+    x_off = x + 300.0
+    out_off = merge.apply({"params": p}, x_off)
+    ref_off = oracle(x_off, p)
+    np.testing.assert_allclose(np.asarray(out_off), np.asarray(ref_off),
+                               rtol=2e-3, atol=2e-3)

@@ -186,3 +186,42 @@ def test_watch_gradients_metric_keys():
     assert watched, list(m)
     for k in watched:
         assert np.isfinite(float(m[k]))
+
+
+def test_watch_gradients_attn_logit_max_probe():
+    """With a probe_model (unfused twin), WATCH_GRADIENTS also surfaces the
+    max attention logit — the observability guard for the fused kernels'
+    softmax clamp at 80 (swin_block_kernels.py max-free softmax)."""
+    import numpy as np
+    from vsn_tpu.config import load_config
+    from vsn_tpu.models import build_model
+    from vsn_tpu.train.schedules import lr_wd_schedules
+    from vsn_tpu.train.step import (
+        init_train_state, make_batch_transform, make_train_step,
+    )
+
+    cfg = load_config(extra_overrides=dict(
+        ARCHITECTURE="Swin", IMG_SIZE=[8, 8, 8], RESHAPE_SIZE=False,
+        PATCH_SHAPE=[2, 2, 2], EMBED_DIM=16, DEPTH=[2], HEADS=[2],
+        WINDOW_SIZE=[2, 2, 2], DISEASES=["CN", "AD"], BATCH_SIZE=1,
+        EFFECTIVE_BATCH_SIZE=2, STEPS=2, LR_WARMUP=1, WD_WARMUP=1,
+        SEED=0, FP16=False, WATCH_GRADIENTS=True,
+        STOCHASTIC_DEPTH_PROB=0.0,
+    ))
+    model = build_model(cfg)
+    probe = build_model(cfg.replace(USE_PALLAS_ATTENTION=False))
+    params = model.init(jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)), True)
+    state = init_train_state(cfg, params)
+    lr, wd = lr_wd_schedules(cfg)
+    step = jax.jit(make_train_step(model, cfg, lr, wd,
+                                   make_batch_transform(cfg),
+                                   probe_model=probe))
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.standard_normal((1, 2, 8, 8, 8, 1)).astype(np.float16),
+        "label": np.eye(2, dtype=np.float32)[rng.integers(0, 2, (1, 2))],
+    }
+    _, m = step(state, batch, jax.random.key(1))
+    assert "attn_logit_max" in m, list(m)
+    v = float(m["attn_logit_max"])
+    assert np.isfinite(v) and v < 80.0, v

@@ -692,6 +692,15 @@ class WindowAttention3D(nn.Module):
                 attn = attn.reshape(bnw // nw, nw, self.num_heads, n, n)
                 attn = attn + mask[None, :, None]
                 attn = attn.reshape(bnw, self.num_heads, n, n)
+            # saturation observability: the fused kernel's max-free softmax
+            # clamps logits at 80 (exact below it, flattened above —
+            # swin_block_kernels.py). Sown max logit makes the attention-
+            # logit-growth regime this project studies visible; consumed by
+            # the WATCH_GRADIENTS probe forward (train/step.py), no-op when
+            # 'intermediates' isn't mutable.
+            self.sow("intermediates", "attn_logit_max", jnp.max(attn),
+                     reduce_fn=lambda a, b: jnp.maximum(a, b),
+                     init_fn=lambda: jnp.float32(-jnp.inf))
             attn = jax.nn.softmax(attn, axis=-1)
             attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
             out = jnp.einsum(
@@ -1086,8 +1095,13 @@ class PatchMerging3D(nn.Module):
         xf = x.astype(jnp.float32)
         xr = xf.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
         mu = xr.mean(axis=(2, 4, 6, 7))                  # [b, d2, h2, w2]
-        msq = (xr * xr).mean(axis=(2, 4, 6, 7))
-        rstd = jax.lax.rsqrt(jnp.maximum(msq - mu * mu, 0.0) + 1e-5)
+        # centered two-pass variance (mean of (x-mu)^2): the one-pass
+        # E[x^2]-E[x]^2 form cancels catastrophically in f32 when block
+        # means are large relative to spread — xr is already materialized,
+        # so centering costs one subtract
+        ctr = xr - mu[:, :, None, :, None, :, None, None]
+        var = (ctr * ctr).mean(axis=(2, 4, 6, 7))
+        rstd = jax.lax.rsqrt(var + 1e-5)
 
         wg = gamma[:, None] * kernel                     # [8C, 2C] f32
         conv_w = wg.reshape(8, c, 2 * c)[_MERGE_PERM_LEX].reshape(

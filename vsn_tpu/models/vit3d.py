@@ -95,6 +95,12 @@ class ViTAttention(nn.Module):
         attn = jnp.einsum(
             "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
         ) * scale
+        # saturation observability for the fused kernel's logit clamp at 80
+        # (see swin3d.WindowAttention3D); no-op unless 'intermediates' is
+        # mutable (the WATCH_GRADIENTS probe forward, train/step.py)
+        self.sow("intermediates", "attn_logit_max", jnp.max(attn),
+                 reduce_fn=lambda a, b: jnp.maximum(a, b),
+                 init_fn=lambda: jnp.float32(-jnp.inf))
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum(

@@ -35,9 +35,13 @@ path's bf16 Dense semantics; f32 stays f32 so the fused path agrees with
 the unfused oracle to tight tolerance); softmax and LN statistics stay
 f32.
 
-Kernels are only used when dropout rates are 0, the norm is pre-norm
-LayerNorm, and LayerScale is off (the reference defaults,
-config-defaults.yaml:39-58); other configs use the unfused path.
+LayerScale rides IN-BAND (optional gamma input + dgamma output; dgamma
+accumulated as colsum(W (*) M) + b (*) s without branch recompute), and so
+does post-norm (a static flag: qkv/fc1 read raw x, norm1/norm2 apply to the
+branch outputs before gamma/gains). The remaining exclusions — mirrored
+exactly by ``models/swin3d.fused_block_gate`` — are dropout or attention
+dropout > 0 and non-LayerNorm NORM_LAYER variants; those configs fall back
+to the unfused XLA path.
 
 Reference semantics: models/swin_transformer_3d.py:106-199 (attention),
 52-69 (MLP), 202-382 (block wiring incl. residual order).

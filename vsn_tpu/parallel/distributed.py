@@ -18,24 +18,36 @@ import os
 import jax
 
 
+_initialized = False
+
+
 def maybe_initialize() -> bool:
     """Initialize jax.distributed when a multi-process launch is detected.
 
     Detection: JAX_COORDINATOR_ADDRESS (explicit) or cloud-TPU pod metadata
     handled inside jax.distributed.initialize. Safe to call twice. Returns
     True when running multi-process.
+
+    The env check MUST come before any backend-touching call: even
+    ``jax.process_count()`` initializes the XLA backend, after which
+    ``jax.distributed.initialize`` refuses to run (caught by the real
+    2-process test, tests/test_distributed_2proc.py).
     """
-    if jax.process_count() > 1:
-        return True
+    global _initialized
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coord:
-        jax.distributed.initialize(
-            coordinator_address=coord,
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]),
-        )
+    if coord and not _initialized:
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        except RuntimeError as exc:  # second call in the same process
+            if "already" not in str(exc):
+                raise
+        _initialized = True
         return True
-    return False
+    return jax.process_count() > 1
 
 
 def get_rank() -> int:

@@ -130,8 +130,16 @@ def make_batch_transform(cfg):
     return transform
 
 
-def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
+def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None,
+                    probe_model=None):
     """Build the train step: (state, batch, base_rng) -> (state, metrics).
+
+    ``probe_model`` (optional, WATCH_GRADIENTS diagnostics): an UNFUSED twin
+    of ``model`` (identical param tree) whose attention modules sow
+    ``attn_logit_max``; one probe forward on the first micro-batch per step
+    surfaces the max attention logit, making the fused kernels' softmax
+    clamp at 80 (swin_block_kernels.py) observable instead of silent in the
+    logit-growth instability regime this project studies.
 
     ``batch`` is a dict with ``image`` [A, B, D, H, W, C] and ``label``
     [A, B, K] (plus mix fields when MixUp/CutMix is on), A = gradient-
@@ -297,6 +305,25 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None):
             # reductions on device
             for mod_name, sub in grads.items():
                 metrics[f"grad_norm/{mod_name}"] = optim.global_norm(sub)
+            if probe_model is not None:
+                from vsn_tpu.data.resident import resolve_micro
+
+                micro0 = jax.tree.map(lambda t: t[0], batch)
+                micro0 = resolve_micro(micro0, resident)
+                data_rng = jax.random.fold_in(
+                    jax.random.fold_in(step_rng, 999), 0
+                )
+                img, _ = batch_transform(micro0, data_rng)
+                _, inter = probe_model.apply(
+                    {"params": state.params, **state.model_state},
+                    img.astype(compute_dtype), True,
+                    mutable=["intermediates"],
+                )
+                sown = [
+                    jnp.max(leaf) for leaf in jax.tree.leaves(inter)
+                ]
+                if sown:
+                    metrics["attn_logit_max"] = jnp.max(jnp.stack(sown))
         return new_state, metrics
 
     return train_step

@@ -221,8 +221,16 @@ def train_fold(
 
     state = init_train_state(cfg, variables)
     lr_table, wd_table = lr_wd_schedules(cfg)
+    # WATCH_GRADIENTS diagnostics: an unfused twin (identical param tree)
+    # sows attn_logit_max so fused-kernel softmax saturation (clamp at 80)
+    # is observable — see make_train_step docstring.
+    probe_model = (
+        build_model(cfg.replace(USE_PALLAS_ATTENTION=False))
+        if cfg.get("WATCH_GRADIENTS", False) else None
+    )
     train_step = jax.jit(
-        make_train_step(model, cfg, lr_table, wd_table, make_batch_transform(cfg)),
+        make_train_step(model, cfg, lr_table, wd_table,
+                        make_batch_transform(cfg), probe_model=probe_model),
         donate_argnums=(0,),
     )
     train_key = rnglib.component_key(rnglib.base_key(seed), "train")
@@ -326,9 +334,10 @@ def train_fold(
                 "wd": float(train_m["wd"]),
                 "grad_norm": float(train_m["grad_norm"]),
                 "skipped_steps": int(state.skipped),
-                # per-module gradient norms when WATCH_GRADIENTS is on
+                # per-module gradient norms + attention-saturation probe
+                # when WATCH_GRADIENTS is on
                 **{k: float(v) for k, v in train_m.items()
-                   if k.startswith("grad_norm/")},
+                   if k.startswith("grad_norm/") or k == "attn_logit_max"},
                 **{f"val_{k}": v for k, v in val_metrics.items()},
             }
             for k, v in row.items():
