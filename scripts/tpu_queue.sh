@@ -92,6 +92,10 @@ run glue python scripts/perf_probe_glue.py
 # 7. Eval-matrix wall time: plain vs TTA rates, device-resident.
 run eval python scripts/perf_probe_eval.py
 
+# 7b. Pre-transformed resident store vs per-step resize+z-score (ViT-S
+#     minimal config — the 44.1 ms deterministic-transform residual).
+run pretransform python scripts/perf_probe_pretransform.py
+
 # 8. A/B: window-resident stream off; corner glue.
 run bench_wr0 env VSN_WINDOW_RESIDENT=0 python bench.py
 run bench_glue_corner env VSN_GLUE=corner python bench.py

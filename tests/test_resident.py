@@ -183,3 +183,106 @@ def test_train_fold_with_preload_device(synth, tmp_path):
     )
     assert summary["steps"] == 6
     assert np.isfinite(summary["history"]["train_loss"]).all()
+
+
+# ---------------------------------------------------------------------------
+# Pre-transformed stores (PRELOAD_PRETRANSFORM)
+# ---------------------------------------------------------------------------
+
+def test_resident_pretransform_gate():
+    """Train store eligibility: minimal pipeline with no mixing only; eval
+    store always eligible; PRELOAD_PRETRANSFORM=False disables both."""
+    from vsn_tpu.data.resident import resident_pretransform
+
+    minimal = _cfg(USE_MIXUP=False, MIXUP_PROB=0.0)
+    assert resident_pretransform(minimal, train=True) is not None
+    assert resident_pretransform(minimal, train=False) is not None
+
+    mixup = _cfg()  # _cfg defaults USE_MIXUP=True
+    assert resident_pretransform(mixup, train=True) is None
+    assert resident_pretransform(mixup, train=False) is not None
+
+    dung = _cfg(USE_MIXUP=False, IS_DUNG_TRANSFORMS=True)
+    assert resident_pretransform(dung, train=True) is None
+
+    off = _cfg(USE_MIXUP=False, PRELOAD_PRETRANSFORM=False)
+    assert resident_pretransform(off, train=True) is None
+    assert resident_pretransform(off, train=False) is None
+
+
+def test_pretransform_store_matches_on_the_fly():
+    """Gathering from a pre-transformed store must match applying the
+    transform to the raw gather, within store-dtype rounding."""
+    from vsn_tpu.data.augment import build_eval_transform
+    from vsn_tpu.data.resident import resident_pretransform
+
+    cfg = _cfg(USE_MIXUP=False)
+    x = _volumes(n=6, shape=tuple(cfg.IMG_SIZE))
+    tfm = build_eval_transform(cfg)
+    idx = jnp.asarray([4, 1, 3], jnp.int32)
+    want = np.asarray(tfm(jnp.asarray(x[[4, 1, 3]], jnp.float32)))
+
+    res16 = build_resident(x, "float16", pretransform=tfm, chunk=4)
+    got16 = np.asarray(gather_volumes(res16, idx), np.float32)
+    assert res16.data.dtype == jnp.float16
+    assert res16.data.shape[1:4] == tuple(cfg.input_size)
+    # z-scored values are O(1); f16 rounding is ~1e-3 relative
+    np.testing.assert_allclose(got16, want, atol=2e-3)
+
+    res8 = build_resident(x, "int8", pretransform=tfm, chunk=4)
+    got8 = np.asarray(gather_volumes(res8, idx), np.float32)
+    # one uint8 step over the z-score range (~8 sigma / 255)
+    np.testing.assert_allclose(got8, want, atol=0.04)
+
+
+def test_train_step_pretransformed_close_to_host(synth):
+    """Minimal-pipeline train step through a pre-transformed f16 store
+    (passthrough batch transform) stays close to the host path that
+    transforms per step in f32."""
+    cfg = _cfg(USE_MIXUP=False, MIXUP_PROB=0.0)
+    ds = _dataset(synth, cfg)
+    mesh = meshlib.make_mesh()
+    host_pipe = TrainPipeline(ds, cfg, grad_accum=2, micro_batch=8, seed=5)
+    idx_pipe = TrainPipeline(ds, cfg, grad_accum=2, micro_batch=8, seed=5,
+                             index_mode=True)
+
+    from vsn_tpu.data.resident import resident_pretransform
+
+    tfm = resident_pretransform(cfg, train=True)
+    assert tfm is not None
+
+    model = build_model(cfg)
+    x0 = jnp.zeros((1, *cfg.input_size, 1), jnp.float32)
+    variables = model.init(jax.random.key(0), x0, True)
+    lr, wd = lr_wd_schedules(cfg)
+    step_host = jax.jit(
+        make_train_step(model, cfg, lr, wd, make_batch_transform(cfg)))
+    step_pre = jax.jit(make_train_step(model, cfg, lr, wd, None))
+    res = build_resident(ds.all_volumes(), "float16", mesh, pretransform=tfm)
+    key = jax.random.key(1)
+
+    s_host = init_train_state(cfg, variables)
+    s_pre = init_train_state(cfg, variables)
+    for bh, bi in zip(host_pipe, idx_pipe):
+        sh = meshlib.shard_train_batch(bh, mesh)
+        si = meshlib.shard_train_batch(bi, mesh)
+        s_host, m_host = step_host(s_host, sh, key)
+        s_pre, m_pre = step_pre(s_pre, si, key, res)
+        np.testing.assert_allclose(
+            float(m_host["loss"]), float(m_pre["loss"]), rtol=2e-3)
+        if int(s_host.step) >= 2:
+            break
+
+
+def test_train_fold_pretransformed_e2e(synth, tmp_path):
+    """End-to-end minimal-pipeline fold with pre-transformed train+val
+    stores (the Validator's skip-transform index path included)."""
+    root, csvs = synth
+    cfg = _cfg(PRELOAD_DEVICE="float16", USE_MIXUP=False, MIXUP_PROB=0.0)
+    summary = train_fold(
+        cfg, csv_dir=str(csvs), save_dir=str(tmp_path / "runs"),
+        cache_dir=str(root / "cache_e2e_pre"),
+    )
+    assert summary["steps"] == 6
+    assert np.isfinite(summary["history"]["train_loss"]).all()
+    assert np.isfinite(summary["history"]["val_loss"]).all()

@@ -63,15 +63,57 @@ def quantize_volumes_int8(images: np.ndarray):
     return q.reshape(images.shape), scale.astype(np.float32), lo.astype(np.float32)
 
 
-def build_resident(images: np.ndarray, mode: str, mesh=None) -> ResidentVolumes:
+def resident_pretransform(cfg, train: bool):
+    """The deterministic per-volume transform to bake into the store at build
+    time, or None when the store must stay raw.
+
+    Eval volumes always go through resize + z-score (reference
+    train/train_transformer.py:1742-1752), which is deterministic, so the
+    eval store can always be pre-transformed. The TRAIN store is only
+    eligible when the pipeline is minimal (no dung/extended augmentation)
+    AND MixUp/CutMix are off — the reference z-scores AFTER mixing
+    (dataset/dataset.py:288-291), so pre-normalized volumes would change the
+    mixed statistics. Measured residual this targets: 44.1 ms of ViT's
+    410 ms step is the deterministic resize+normalize (BASELINE.md).
+
+    Escape hatch: PRELOAD_PRETRANSFORM=False keeps every store raw.
+    """
+    if not cfg.get("PRELOAD_PRETRANSFORM", True):
+        return None
+    if train and (
+        cfg.get("IS_DUNG_TRANSFORMS", False)
+        or cfg.get("USE_EXTENDED_DATA_AUGMENTATION", False)
+        or cfg.get("USE_MIXUP", False)
+        or cfg.get("USE_CUTMIX", False)
+    ):
+        return None
+    from vsn_tpu.data.augment import build_eval_transform
+
+    return build_eval_transform(cfg)
+
+
+def build_resident(images: np.ndarray, mode: str, mesh=None,
+                   pretransform=None, chunk: int = 8) -> ResidentVolumes:
     """Upload the [N, D, H, W, C] cache to device, replicated over ``mesh``.
 
     Replication (rather than sharding volumes over the data axis) keeps any
     device able to serve any sampler index; at these cohort sizes the cache
     fits a single chip's HBM (int8: ~2.9 MB/volume at 144^3). Multi-host DP
     naturally holds per-host copies.
+
+    ``pretransform`` (optional): a deterministic [B, D, H, W, C] -> volume
+    transform (see ``resident_pretransform``) applied ON DEVICE in chunks at
+    build time; the store then holds transformed volumes and the train/eval
+    step skips the per-step resize+normalize entirely. Never round-trips
+    volumes back through the slow host link. Storage rounds the normalized
+    volumes to the store dtype (f16/bf16 ~1e-3 relative, int8 lossier) —
+    bounded by tests/test_resident.py pretransform parity tests.
     """
     mode = str(mode).lower()
+    if pretransform is not None:
+        return _build_resident_transformed(
+            images, mode, pretransform, mesh, chunk
+        )
     if mode in ("float16", "f16", "fp16", "true", "1"):
         arrs = {"data": images.astype(np.float16)}
         scale = offset = None
@@ -96,6 +138,59 @@ def build_resident(images: np.ndarray, mode: str, mesh=None) -> ResidentVolumes:
         data=put(arrs["data"]),
         scale=put(arrs["scale"]) if scale is not None else None,
         offset=put(arrs["offset"]) if offset is not None else None,
+    )
+
+
+def _build_resident_transformed(images, mode, fn, mesh, chunk):
+    """Transform-at-build path: raw chunks go host->device once, the jitted
+    transform runs on device, and only transformed volumes are kept (int8
+    quantizes on device too — no device->host fetch anywhere)."""
+    if mode in ("float16", "f16", "fp16", "true", "1"):
+        store_dtype = jnp.float16
+    elif mode in ("bfloat16", "bf16"):
+        store_dtype = jnp.bfloat16
+    elif mode == "int8":
+        store_dtype = None
+    else:
+        raise ValueError(f"unknown PRELOAD_DEVICE mode: {mode!r}")
+
+    jfn = jax.jit(fn)
+
+    @jax.jit
+    def quant(t):
+        flat = t.reshape(t.shape[0], -1)
+        lo = flat.min(axis=1)
+        scale = jnp.maximum(flat.max(axis=1) - lo, 1e-8) / 255.0
+        q = jnp.rint((flat - lo[:, None]) / scale[:, None]).astype(jnp.uint8)
+        return q.reshape(t.shape), scale, lo
+
+    data_chunks, scales, offsets = [], [], []
+    for i in range(0, images.shape[0], chunk):
+        x = jnp.asarray(images[i:i + chunk], jnp.float32)
+        t = jfn(x)
+        if store_dtype is None:
+            q, s, o = quant(t)
+            data_chunks.append(q)
+            scales.append(s)
+            offsets.append(o)
+        else:
+            data_chunks.append(t.astype(store_dtype))
+    data = jnp.concatenate(data_chunks, axis=0)
+    scale = jnp.concatenate(scales) if scales else None
+    offset = jnp.concatenate(offsets) if offsets else None
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P())
+        put = lambda a: jax.device_put(a, sharding)
+    else:
+        put = lambda a: a
+
+    return ResidentVolumes(
+        data=put(data),
+        scale=put(scale) if scale is not None else None,
+        offset=put(offset) if offset is not None else None,
     )
 
 

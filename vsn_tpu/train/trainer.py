@@ -60,7 +60,8 @@ class Validator:
     device compute, independent of the host->device link.
     """
 
-    def __init__(self, model, cfg, dataset, mesh, resident=None):
+    def __init__(self, model, cfg, dataset, mesh, resident=None,
+                 resident_pretransformed=False):
         from vsn_tpu.parallel import distributed as dist
 
         self.cfg = cfg
@@ -83,9 +84,16 @@ class Validator:
         if resident is not None:
             from vsn_tpu.data.resident import gather_volumes
 
+            # A pre-transformed store (resident_pretransform) already holds
+            # resize+z-scored volumes; gathering is then the whole batch prep.
+            idx_tfm = ((lambda x: x) if resident_pretransformed
+                       else transform)
+
             @jax.jit
             def run_idx(variables, idx, res):
-                return eval_step(variables, transform(gather_volumes(res, idx)))
+                return eval_step(
+                    variables, idx_tfm(gather_volumes(res, idx))
+                )
 
             self._run_idx = run_idx
 
@@ -190,16 +198,32 @@ def train_fold(
     # Device-resident cache: push train/val volumes into HBM once; every
     # step then ships only int32 indices (vsn_tpu/data/resident.py).
     resident_train = resident_val = None
+    pre_train_tfm = pre_val_tfm = None
     preload_device = cfg.get("PRELOAD_DEVICE", False)
     if preload_device:
-        from vsn_tpu.data.resident import build_resident
+        from vsn_tpu.data.resident import build_resident, resident_pretransform
 
         mode = str(preload_device)
-        resident_train = build_resident(ds_train.all_volumes(), mode, mesh)
-        resident_val = build_resident(ds_val.all_volumes(), mode, mesh)
+        # Pre-transformed stores: bake the deterministic resize+z-score into
+        # the store at build time so each step/eval batch skips it (always
+        # legal for eval; train only when minimal pipeline and no mixing —
+        # see resident_pretransform).
+        pre_train_tfm = resident_pretransform(cfg, train=True)
+        pre_val_tfm = resident_pretransform(cfg, train=False)
+        resident_train = build_resident(
+            ds_train.all_volumes(), mode, mesh, pretransform=pre_train_tfm
+        )
+        resident_val = build_resident(
+            ds_val.all_volumes(), mode, mesh, pretransform=pre_val_tfm
+        )
         log.info(
-            "device-resident cache: train %.2f GB + val %.2f GB in HBM (%s)",
-            resident_train.nbytes / 1e9, resident_val.nbytes / 1e9, mode,
+            "device-resident cache: train %.2f GB%s + val %.2f GB%s in HBM"
+            " (%s)",
+            resident_train.nbytes / 1e9,
+            " pre-transformed" if pre_train_tfm is not None else "",
+            resident_val.nbytes / 1e9,
+            " pre-transformed" if pre_val_tfm is not None else "",
+            mode,
         )
 
     pipe = TrainPipeline(
@@ -228,13 +252,18 @@ def train_fold(
         build_model(cfg.replace(USE_PALLAS_ATTENTION=False))
         if cfg.get("WATCH_GRADIENTS", False) else None
     )
+    # Pre-transformed train store already carries resize+z-score; the step's
+    # batch transform is then a passthrough (None).
+    batch_tfm = (None if pre_train_tfm is not None
+                 else make_batch_transform(cfg))
     train_step = jax.jit(
         make_train_step(model, cfg, lr_table, wd_table,
-                        make_batch_transform(cfg), probe_model=probe_model),
+                        batch_tfm, probe_model=probe_model),
         donate_argnums=(0,),
     )
     train_key = rnglib.component_key(rnglib.base_key(seed), "train")
-    validator = Validator(model, cfg, ds_val, mesh, resident=resident_val)
+    validator = Validator(model, cfg, ds_val, mesh, resident=resident_val,
+                          resident_pretransformed=pre_val_tfm is not None)
 
     # ----- bookkeeping -----------------------------------------------------
     history: dict[str, list] = {}
