@@ -87,7 +87,10 @@ def main():
     print(f"raw store + per-step transform: {dt_raw * 1e3:8.1f} ms/step "
           f"({eff / dt_raw:6.1f} vol/s)", flush=True)
 
-    # pre-transformed store + passthrough
+    # pre-transformed store + passthrough. Fresh init: the first timed run
+    # DONATED (and deleted) the buffers inside `variables` — reusing them
+    # here would crash on TPU with "Array has been deleted".
+    variables2 = model.init(jax.random.key(0), x0, True)
     tfm = resident_pretransform(cfg, train=True)
     assert tfm is not None, "config must be minimal/no-mix for this probe"
     res_pre = build_resident(vols, "float16", pretransform=tfm)
@@ -95,7 +98,7 @@ def main():
         make_train_step(model, cfg, lr, wd, None),
         donate_argnums=(0,),
     )
-    dt_pre, _ = time_steps(step_pre, init_train_state(cfg, variables),
+    dt_pre, _ = time_steps(step_pre, init_train_state(cfg, variables2),
                            batch, res_pre)
     print(f"pre-transformed store:          {dt_pre * 1e3:8.1f} ms/step "
           f"({eff / dt_pre:6.1f} vol/s)", flush=True)

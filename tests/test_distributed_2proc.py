@@ -28,8 +28,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_jax_distributed(tmp_path):
-    port = _free_port()
+def _launch_pair(tmp_path, port, attempt):
     procs, outs = [], []
     for r in range(2):
         env = {
@@ -44,7 +43,7 @@ def test_two_process_jax_distributed(tmp_path):
             JAX_NUM_PROCESSES="2",
             JAX_PROCESS_ID=str(r),
         )
-        out = tmp_path / f"out{r}.json"
+        out = tmp_path / f"out{attempt}_{r}.json"
         outs.append(out)
         procs.append(subprocess.Popen(
             [sys.executable, str(REPO / "tests" / "_distributed_worker.py"),
@@ -61,7 +60,22 @@ def test_two_process_jax_distributed(tmp_path):
                 q.kill()
             raise
         logs.append(stdout)
-    assert all(p.returncode == 0 for p in procs), "\n---\n".join(logs)[-4000:]
+    return procs, outs, logs
+
+
+def test_two_process_jax_distributed(tmp_path):
+    # _free_port closes the probe socket before the coordinator binds it —
+    # a TOCTOU window another process can win. One retry on a fresh port
+    # keeps the suite from flaking on that race.
+    for attempt in range(2):
+        procs, outs, logs = _launch_pair(tmp_path, _free_port(), attempt)
+        if all(p.returncode == 0 for p in procs):
+            break
+        joined = "\n---\n".join(logs)
+        if attempt == 0 and ("Failed to bind" in joined
+                             or "address already in use" in joined.lower()):
+            continue
+        raise AssertionError(joined[-4000:])
 
     results = [json.loads(o.read_text()) for o in outs]
     results.sort(key=lambda d: d["rank"])

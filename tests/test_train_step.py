@@ -207,6 +207,8 @@ def test_watch_gradients_attn_logit_max_probe():
         EFFECTIVE_BATCH_SIZE=2, STEPS=2, LR_WARMUP=1, WD_WARMUP=1,
         SEED=0, FP16=False, WATCH_GRADIENTS=True,
         STOCHASTIC_DEPTH_PROB=0.0,
+        # probe forwards only run on logged steps (lax.cond); log every step
+        VALIDATION_FREQUENCY=1,
     ))
     model = build_model(cfg)
     probe = build_model(cfg.replace(USE_PALLAS_ATTENTION=False))

@@ -164,9 +164,14 @@ def _build_resident_transformed(images, mode, fn, mesh, chunk):
         q = jnp.rint((flat - lo[:, None]) / scale[:, None]).astype(jnp.uint8)
         return q.reshape(t.shape), scale, lo
 
+    n = images.shape[0]
     data_chunks, scales, offsets = [], [], []
-    for i in range(0, images.shape[0], chunk):
-        x = jnp.asarray(images[i:i + chunk], jnp.float32)
+    for i in range(0, n, chunk):
+        raw = images[i:i + chunk]
+        pad = chunk - raw.shape[0]
+        if pad:  # pad the ragged final chunk: one compiled shape, not two
+            raw = np.concatenate([raw, raw[-1:].repeat(pad, axis=0)])
+        x = jnp.asarray(raw, jnp.float32)
         t = jfn(x)
         if store_dtype is None:
             q, s, o = quant(t)
@@ -175,9 +180,9 @@ def _build_resident_transformed(images, mode, fn, mesh, chunk):
             offsets.append(o)
         else:
             data_chunks.append(t.astype(store_dtype))
-    data = jnp.concatenate(data_chunks, axis=0)
-    scale = jnp.concatenate(scales) if scales else None
-    offset = jnp.concatenate(offsets) if offsets else None
+    data = jnp.concatenate(data_chunks, axis=0)[:n]
+    scale = jnp.concatenate(scales)[:n] if scales else None
+    offset = jnp.concatenate(offsets)[:n] if offsets else None
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

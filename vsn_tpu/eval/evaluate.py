@@ -77,7 +77,8 @@ class Evaluator:
     """Batched (optionally TTA) inference over a dataset."""
 
     def __init__(self, cfg, model, use_tta: bool = False, batch_size=None,
-                 mesh=None, tta_kwargs=None, seed: int = 0):
+                 mesh=None, tta_kwargs=None, seed: int = 0,
+                 resident_pretransformed: bool = False):
         self.cfg = cfg
         self.mesh = mesh or meshlib.make_mesh()
         self.batch_size = meshlib.pad_batch_to_multiple(
@@ -86,6 +87,12 @@ class Evaluator:
         transform = build_eval_transform(cfg)
         self.use_tta = use_tta
         self.rng = jax.random.key(seed)
+        # A pre-transformed store (resident_pretransform) already holds
+        # resize+z-scored volumes. TTA is incompatible: views warp BEFORE
+        # normalizing, so the TTA store must stay raw.
+        if resident_pretransformed and use_tta:
+            raise ValueError("TTA requires a raw resident store "
+                             "(views warp before normalize)")
         if use_tta:
             predict, self.n_views = make_tta_predictor(
                 model, eval_transform=transform, **(tta_kwargs or {})
@@ -98,12 +105,14 @@ class Evaluator:
             )
         else:
             eval_step = make_eval_step(model)
+            idx_tfm = ((lambda x: x) if resident_pretransformed
+                       else transform)
             self._run = jax.jit(
                 lambda variables, images: eval_step(variables, transform(images))
             )
             self._run_idx = jax.jit(
                 lambda variables, idx, res: eval_step(
-                    variables, transform(gather_volumes(res, idx))
+                    variables, idx_tfm(gather_volumes(res, idx))
                 )
             )
 
@@ -167,19 +176,26 @@ def _bootstrap_summary(probs, gt_onehot, n_bootstrap, seed=42):
     return strip(results)
 
 
-def _resident_for(ds, cfg, cache: dict | None, mesh=None):
+def _resident_for(ds, cfg, cache: dict | None, mesh=None, pretransform=None):
     """Dataset's HBM-resident store (PRELOAD_DEVICE), memoized across
     checkpoints via ``cache`` so the best-N eval matrix uploads each cohort
     once. The Evaluator's mesh is threaded through so the store is
     explicitly replicated once (matching trainer.train_fold) instead of
-    being resharded per jitted call on multi-device meshes."""
+    being resharded per jitted call on multi-device meshes.
+
+    ``pretransform`` bakes the deterministic resize+z-score into the store
+    (non-TTA eval only; part of the memo key, so a process evaluating both
+    plain and TTA checkpoints holds one raw and one transformed store —
+    mind HBM on very large cohorts)."""
     mode = cfg.get("PRELOAD_DEVICE", False)
     if not mode:
         return None
-    key = (str(ds.cache_dir), tuple(ds.subjects), str(mode))
+    key = (str(ds.cache_dir), tuple(ds.subjects), str(mode),
+           pretransform is not None)
     if cache is not None and key in cache:
         return cache[key]
-    res = build_resident(ds.all_volumes(), str(mode), mesh)
+    res = build_resident(ds.all_volumes(), str(mode), mesh,
+                         pretransform=pretransform)
     if cache is not None:
         cache[key] = res
     return res
@@ -245,8 +261,15 @@ def _evaluate_checkpoint_inner(
     )
     DataPrepa(meta_all, cache_dir).preprocess_data(crop=tuple(cfg.IMG_SIZE))
 
+    # Non-TTA eval can ride a pre-transformed store (resize+z-score baked
+    # in at build time); TTA must gather raw volumes (views warp first).
+    from vsn_tpu.data.resident import resident_pretransform
+
+    eval_pre_tfm = (None if use_tta
+                    else resident_pretransform(cfg, train=False))
     evaluator = Evaluator(cfg, model, use_tta=use_tta, batch_size=batch_size,
-                          seed=seed)
+                          seed=seed,
+                          resident_pretransformed=eval_pre_tfm is not None)
     results = {"checkpoint": str(checkpoint_path), "fold": fold,
                "use_tta": use_tta, "model_index": model_index}
 
@@ -263,12 +286,12 @@ def _evaluate_checkpoint_inner(
     ds_test = InMemoryDataset(cache_dir, meta_test, diseases)
 
     val_probs, val_gt = evaluator.predict_dataset(
-        variables, ds_val, _resident_for(ds_val, cfg, resident_cache, evaluator.mesh)
+        variables, ds_val, _resident_for(ds_val, cfg, resident_cache, evaluator.mesh, eval_pre_tfm)
     )
     results["val"] = _bootstrap_summary(val_probs, val_gt, n_bootstrap, seed)
 
     test_probs, test_gt = evaluator.predict_dataset(
-        variables, ds_test, _resident_for(ds_test, cfg, resident_cache, evaluator.mesh)
+        variables, ds_test, _resident_for(ds_test, cfg, resident_cache, evaluator.mesh, eval_pre_tfm)
     )
     results["test_id"] = _bootstrap_summary(test_probs, test_gt, n_bootstrap,
                                             seed)
@@ -284,7 +307,7 @@ def _evaluate_checkpoint_inner(
         )
         ds_od = InMemoryDataset(cache_dir, meta_od_known, diseases)
         od_probs, od_gt = evaluator.predict_dataset(
-            variables, ds_od, _resident_for(ds_od, cfg, resident_cache, evaluator.mesh)
+            variables, ds_od, _resident_for(ds_od, cfg, resident_cache, evaluator.mesh, eval_pre_tfm)
         )
         results["test_od"] = _bootstrap_summary(od_probs, od_gt, n_bootstrap,
                                                 seed)

@@ -42,8 +42,12 @@ def maybe_initialize() -> bool:
                 num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
                 process_id=int(os.environ["JAX_PROCESS_ID"]),
             )
-        except RuntimeError as exc:  # second call in the same process
-            if "already" not in str(exc):
+        except RuntimeError as exc:
+            # Tolerate a second init in the same process. jax 0.9.0 raises
+            # "distributed.initialize should only be called once." — older
+            # versions said "already initialized"; match both.
+            msg = str(exc)
+            if "only be called once" not in msg and "already" not in msg:
                 raise
         _initialized = True
         return True

@@ -308,22 +308,38 @@ def make_train_step(model, cfg, lr_table, wd_table, batch_transform=None,
             if probe_model is not None:
                 from vsn_tpu.data.resident import resolve_micro
 
-                micro0 = jax.tree.map(lambda t: t[0], batch)
-                micro0 = resolve_micro(micro0, resident)
-                data_rng = jax.random.fold_in(
-                    jax.random.fold_in(step_rng, 999), 0
+                # The probe forward is only consumed on logged steps
+                # (trainer logs every VALIDATION_FREQUENCY); lax.cond skips
+                # the extra forward's runtime cost on all other steps
+                # (returns -inf, filtered out by the trainer's row builder).
+                log_every = max(1, int(cfg.get("VALIDATION_FREQUENCY", 1)))
+
+                def probe_branch(_):
+                    micro0 = jax.tree.map(lambda t: t[0], batch)
+                    micro0 = resolve_micro(micro0, resident)
+                    data_rng = jax.random.fold_in(
+                        jax.random.fold_in(step_rng, 999), 0
+                    )
+                    img, _ = batch_transform(micro0, data_rng)
+                    _, inter = probe_model.apply(
+                        {"params": state.params, **state.model_state},
+                        img.astype(compute_dtype), True,
+                        mutable=["intermediates"],
+                    )
+                    sown = [
+                        jnp.max(leaf).astype(jnp.float32)
+                        for leaf in jax.tree.leaves(inter)
+                    ]
+                    if not sown:
+                        return jnp.float32(-jnp.inf)
+                    return jnp.max(jnp.stack(sown))
+
+                metrics["attn_logit_max"] = jax.lax.cond(
+                    (step + 1) % log_every == 0,
+                    probe_branch,
+                    lambda _: jnp.float32(-jnp.inf),
+                    operand=None,
                 )
-                img, _ = batch_transform(micro0, data_rng)
-                _, inter = probe_model.apply(
-                    {"params": state.params, **state.model_state},
-                    img.astype(compute_dtype), True,
-                    mutable=["intermediates"],
-                )
-                sown = [
-                    jnp.max(leaf) for leaf in jax.tree.leaves(inter)
-                ]
-                if sown:
-                    metrics["attn_logit_max"] = jnp.max(jnp.stack(sown))
         return new_state, metrics
 
     return train_step

@@ -247,10 +247,14 @@ def train_fold(
     lr_table, wd_table = lr_wd_schedules(cfg)
     # WATCH_GRADIENTS diagnostics: an unfused twin (identical param tree)
     # sows attn_logit_max so fused-kernel softmax saturation (clamp at 80)
-    # is observable — see make_train_step docstring.
+    # is observable — see make_train_step docstring. Attention architectures
+    # only (ResNet/MedViT have nothing to sow, and their BN state would need
+    # extra mutability in the probe forward); the step runs the probe only
+    # on logged steps via lax.cond.
     probe_model = (
         build_model(cfg.replace(USE_PALLAS_ATTENTION=False))
-        if cfg.get("WATCH_GRADIENTS", False) else None
+        if (cfg.get("WATCH_GRADIENTS", False)
+            and str(cfg.ARCHITECTURE) in ("Swin", "ViT")) else None
     )
     # Pre-transformed train store already carries resize+z-score; the step's
     # batch transform is then a passthrough (None).
@@ -364,9 +368,11 @@ def train_fold(
                 "grad_norm": float(train_m["grad_norm"]),
                 "skipped_steps": int(state.skipped),
                 # per-module gradient norms + attention-saturation probe
-                # when WATCH_GRADIENTS is on
+                # when WATCH_GRADIENTS is on (-inf = probe skipped on a
+                # non-logged step, dropped here)
                 **{k: float(v) for k, v in train_m.items()
-                   if k.startswith("grad_norm/") or k == "attn_logit_max"},
+                   if k.startswith("grad_norm/")
+                   or (k == "attn_logit_max" and np.isfinite(float(v)))},
                 **{f"val_{k}": v for k, v in val_metrics.items()},
             }
             for k, v in row.items():
@@ -418,8 +424,11 @@ def train_fold(
         from vsn_tpu.train.step import make_bn_refresh_step
 
         log.info("refreshing BN statistics under EMA weights")
+        # batch_tfm (not a fresh make_batch_transform): with a pre-
+        # transformed train store the refresh must see the SAME passthrough
+        # inputs the train step saw, not a re-resize+z-score of them.
         refresh = jax.jit(
-            make_bn_refresh_step(model, cfg, make_batch_transform(cfg))
+            make_bn_refresh_step(model, cfg, batch_tfm)
         )
         ema_tree = state.ema.ema
         mstate = ema_tree["model_state"]
