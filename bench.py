@@ -62,9 +62,11 @@ def wait_for_tpu(budget_s: float, probe=_tpu_probe_ok,
     deadline = time.monotonic() + budget_s
     while True:
         remaining = deadline - time.monotonic()
-        if remaining <= 0:
+        if remaining < 10.0:
+            # under 10 s a probe can't even import jax; honor the budget
+            # instead of granting the clamp minimum past the deadline
             return False
-        if probe(min(150.0, max(10.0, remaining))):
+        if probe(min(150.0, remaining)):
             return True
         print(f"[bench] TPU backend not up, retrying "
               f"({deadline - time.monotonic():.0f}s left)", file=sys.stderr)

@@ -11,11 +11,16 @@ on the production geometries:
    the production (6,7,6) window — N=252, head_dim 32 — plus a clamped
    single-window tail stage), forward AND parameter grads;
 2. production bf16 parity on the full 144x168x144 Swin-T (packed stage 3),
-   forward + grad-norm, with bf16-ordering tolerances.
+   forward + per-module grad norms, with bf16-ordering tolerances.
 
-Exits 0 and prints PASS iff everything matches; any numeric divergence on
-chip means the Mosaic compilation of the kernels is wrong and NO benchmark
-may be trusted until fixed. Run FIRST in scripts/tpu_queue.sh.
+The probe also asserts the fused lowering actually contains Mosaic custom
+calls (and the unfused one doesn't) — a silently-closed fused_block_gate
+would otherwise make the whole comparison vacuous XLA-vs-XLA.
+
+Prints a final PASS (exit 0) or FAIL (exit 1) line iff the comparison RAN;
+infra failures (timeout, tunnel crash) leave neither marker, which
+scripts/tpu_queue.sh uses to distinguish "kernels are wrong — stop" from
+"probe couldn't run — continue with a warning".
 
 Usage: setsid nohup python scripts/tpu_parity_probe.py > /tmp/parity.log 2>&1 &
 """
@@ -44,13 +49,18 @@ def _grad_leaves(model, variables, x):
     return jax.grad(loss)(variables["params"])
 
 
-def _tree_norm(tree):
-    return float(
-        jnp.sqrt(
+@jax.jit
+def _module_norms(tree):
+    """Per-top-level-module grad norms, computed on device in ONE dispatch
+    (a leaf-wise eager loop costs hundreds of remote round trips through the
+    axon tunnel)."""
+    return {
+        k: jnp.sqrt(
             sum(jnp.sum(jnp.square(l.astype(jnp.float32)))
-                for l in jax.tree.leaves(tree))
+                for l in jax.tree.leaves(sub))
         )
-    )
+        for k, sub in tree.items()
+    }
 
 
 def _compare_trees(gf, gu, rtol, atol, tag):
@@ -59,6 +69,9 @@ def _compare_trees(gf, gu, rtol, atol, tag):
     for path, leaf in jax.tree.leaves_with_path(gf):
         a = np.asarray(leaf, np.float32)
         b = np.asarray(flat_u[path], np.float32)
+        if not (np.isfinite(a).all() and np.isfinite(b).all()):
+            print(f"FAIL {tag} non-finite grads at {path}")
+            return False
         denom = np.maximum(np.abs(b), atol / max(rtol, 1e-30))
         rel = float(np.max(np.abs(a - b) / denom)) if a.size else 0.0
         if rel > worst[0]:
@@ -69,6 +82,32 @@ def _compare_trees(gf, gu, rtol, atol, tag):
             return False
     print(f"  {tag} grads OK (worst rel {worst[0]:.2e} at {worst[1]})")
     return True
+
+
+def _assert_fused_engaged(tag, models, variables, x):
+    """The fused lowering must contain Mosaic custom calls and the unfused
+    one must not — otherwise the parity comparison is XLA-vs-XLA and proves
+    nothing about the kernels under test. lower() only traces (client-side),
+    it does not pay the remote compile."""
+    if os.environ.get("VSN_PARITY_CPU_SMOKE") == "1":
+        return True  # interpret-mode lowering carries no Mosaic custom call
+    markers = ("tpu_custom_call", "mosaic")
+
+    def has_kernels(model):
+        txt = jax.jit(
+            lambda v, xx: model.apply(v, xx, True)).lower(variables, x
+        ).as_text().lower()
+        return any(m in txt for m in markers)
+
+    fused_ok = has_kernels(models["fused"])
+    unfused_clean = not has_kernels(models["unfused"])
+    if not fused_ok:
+        print(f"FAIL {tag}: fused model lowering contains no Mosaic custom "
+              f"call — fused_block_gate fell back, comparison is vacuous")
+    if not unfused_clean:
+        print(f"FAIL {tag}: unfused model lowering unexpectedly contains "
+              f"Mosaic custom calls")
+    return fused_ok and unfused_clean
 
 
 def run_case(tag, overrides, x_dtype, rtol, atol, check_grads):
@@ -82,41 +121,58 @@ def run_case(tag, overrides, x_dtype, rtol, atol, check_grads):
     x = jnp.asarray(
         rng.standard_normal((2, *cfg.input_size, 1)), x_dtype)
 
+    models = {
+        "fused": build_model(cfg.replace(USE_PALLAS_ATTENTION=True)),
+        "unfused": build_model(cfg.replace(USE_PALLAS_ATTENTION=False)),
+    }
+    variables = models["fused"].init(jax.random.key(0), x, True)
+    if not _assert_fused_engaged(tag, models, variables, x):
+        return False
+
     outs, grads, norms = {}, {}, {}
-    for name, flag in (("fused", True), ("unfused", False)):
-        model = build_model(cfg.replace(USE_PALLAS_ATTENTION=flag))
+    for name, model in models.items():
         t0 = time.time()
-        if name == "fused":
-            variables = model.init(jax.random.key(0), x, True)
-            run_case.variables = variables
-        else:
-            variables = run_case.variables  # identical trees (tested)
+        # identical param trees fused vs unfused (tested) — share one init
         out = jax.jit(lambda v, xx: model.apply(v, xx, True))(variables, x)
         outs[name] = np.asarray(out, np.float32)
         print(f"  {tag}/{name} fwd compiled+ran in {time.time() - t0:.1f}s "
               f"logits[0] {outs[name][0][:3]}")
         if check_grads:
             t0 = time.time()
-            g = jax.jit(lambda v, xx: _grad_leaves(model, v, xx))(
+            g = jax.jit(lambda v, xx: _grad_leaves(models[name], v, xx))(
                 variables, x)
             if check_grads == "tree":
                 grads[name] = jax.tree.map(np.asarray, g)
-            norms[name] = _tree_norm(g)
+            norms[name] = {
+                k: float(v) for k, v in
+                jax.device_get(_module_norms(g)).items()
+            }
+            total = float(np.sqrt(sum(v * v for v in norms[name].values())))
             print(f"  {tag}/{name} grads in {time.time() - t0:.1f}s "
-                  f"norm {norms[name]:.6g}")
+                  f"norm {total:.6g}")
 
     d = np.abs(outs["fused"] - outs["unfused"]).max()
     scale = np.abs(outs["unfused"]).max()
     print(f"  {tag} fwd max|d| {d:.3e} (scale {scale:.3e})")
-    ok = bool(np.allclose(outs["fused"], outs["unfused"],
-                          rtol=rtol, atol=atol))
+    ok = bool(
+        np.isfinite(outs["fused"]).all()
+        and np.allclose(outs["fused"], outs["unfused"], rtol=rtol, atol=atol)
+    )
     if not ok:
         print(f"FAIL {tag} forward mismatch")
     if check_grads and ok:
-        gn_rel = abs(norms["fused"] - norms["unfused"]) / max(
-            norms["unfused"], 1e-30)
-        print(f"  {tag} grad-norm rel diff {gn_rel:.3e}")
-        ok = gn_rel < 10 * rtol
+        # per-MODULE norms (not one global norm, where a zeroed submodule
+        # hides inside a <1% shift of the total)
+        for k, nf in norms["fused"].items():
+            nu = norms["unfused"][k]
+            rel = abs(nf - nu) / max(abs(nu), 1e-30)
+            if not (np.isfinite(nf) and np.isfinite(nu) and rel < 2 * rtol):
+                print(f"FAIL {tag} grad-norm mismatch for module {k}: "
+                      f"fused {nf:.6g} unfused {nu:.6g} rel {rel:.3e}")
+                ok = False
+        if ok:
+            print(f"  {tag} per-module grad norms OK "
+                  f"({len(norms['fused'])} modules, rtol {2 * rtol:g})")
         if check_grads == "tree":
             ok = ok and _compare_trees(
                 grads["fused"], grads["unfused"], 10 * rtol, 10 * atol, tag)
@@ -153,7 +209,7 @@ def main():
         jnp.float32, rtol=1e-4, atol=1e-4, check_grads="tree",
     )
     # 2. production bf16 full Swin-T incl. the packed stage 3; fwd +
-    #    grad-norm only (full-tree transfer of 28M grads x2 over the
+    #    per-module grad norms (full-tree transfer of 28M grads x2 over the
     #    ~4 MB/s tunnel would dominate).
     ok &= run_case(
         "bf16-full",

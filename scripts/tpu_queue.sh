@@ -68,10 +68,35 @@ done
 echo "TUNNEL UP $(date +%H:%M:%S)" | tee -a /tmp/tpu_queue_status.log
 
 # 1. PARITY GATE: Mosaic-compiled fused kernels vs XLA path, on chip.
-if ! run parity python scripts/tpu_parity_probe.py; then
+#    Abort ONLY on a confirmed numeric FAIL (final "FAIL" marker in the
+#    log). Infra failures — timeout rc=124, tunnel crash mid-probe — leave
+#    no PASS/FAIL marker: retry once, then continue with a warning so one
+#    hiccup doesn't forfeit the whole unattended measurement window.
+parity_verdict() {  # prints pass|fail|inconclusive for the last parity log
+    if tail -n 1 /tmp/q_parity.log 2>/dev/null | grep -qx "PASS"; then
+        echo pass
+    elif grep -q "^FAIL" /tmp/q_parity.log 2>/dev/null; then
+        echo fail
+    else
+        echo inconclusive
+    fi
+}
+run parity python scripts/tpu_parity_probe.py || true
+v=$(parity_verdict)
+if [ "$v" = inconclusive ]; then
+    echo "parity inconclusive (infra) — one retry" \
+        | tee -a /tmp/tpu_queue_status.log
+    run parity python scripts/tpu_parity_probe.py || true
+    v=$(parity_verdict)
+fi
+if [ "$v" = fail ]; then
     echo "PARITY FAILED — aborting queue (no number below is trustworthy)" \
         | tee -a /tmp/tpu_queue_status.log
     exit 2
+elif [ "$v" = inconclusive ]; then
+    echo "PARITY INCONCLUSIVE after retry — continuing, numbers below need" \
+         "a parity rerun before being folded into BASELINE.md" \
+        | tee -a /tmp/tpu_queue_status.log
 fi
 
 # 2. Driver bench contract (headline; validates all Swin changes).

@@ -34,8 +34,16 @@ def test_wait_for_tpu_gives_up_at_budget():
         calls.append(timeout_s)
         return False
 
+    # budget under the 10 s probe minimum: give up WITHOUT probing (a probe
+    # can't import jax in that window, and granting the clamp minimum would
+    # overshoot the documented budget)
     assert not bench.wait_for_tpu(0.05, probe=probe, interval_s=0.01)
-    assert calls  # at least one attempt before giving up
+    assert not calls
+
+    # real budget: every probe gets at most the remaining budget, never the
+    # old 150 s clamp past the deadline
+    assert not bench.wait_for_tpu(11, probe=probe, interval_s=11)
+    assert calls and all(t <= 11 for t in calls)
 
 
 def test_bench_emits_diagnostic_json_on_simulated_outage():
