@@ -85,9 +85,12 @@ def test_fused_attn_half_matches_oracle():
 
 
 def test_fused_ln_mlp_matches_oracle_multi_tile():
-    t, c, hid = 1024, 16, 64
-    tile = mlp_tile_rows(t)
-    assert tile == 512  # two programs -> exercises dW accumulation
+    # 4 samples x 256 rows, tile 128: two programs PER SAMPLE (exercises dW
+    # accumulation) and tiles that must pick the right per-sample gain —
+    # DISTINCT gains, so gf[program_id // tiles_per_sample] misindexing
+    # (e.g. from a total-T tile like the old mlp_tile_rows(t)=512) fails
+    # loudly instead of hiding behind all-ones.
+    t, c, hid, nsamp, tile = 1024, 16, 64, 4, 128
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((t, c)), jnp.float32)
     lng = jnp.asarray(1.0 + 0.1 * rng.standard_normal(c), jnp.float32)
@@ -96,14 +99,16 @@ def test_fused_ln_mlp_matches_oracle_multi_tile():
     b1 = jnp.asarray(rng.standard_normal(hid) * 0.1, jnp.float32)
     w2 = jnp.asarray(rng.standard_normal((hid, c)) * 0.1, jnp.float32)
     b2 = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+    gains = jnp.asarray([0.25, 1.0, 1.75, 0.5], jnp.float32)
 
     def oracle(x, lng, lnb, w1, b1, w2, b2):
         y = _ln(x, lng, lnb)
         h = nn.gelu(y @ w1 + b1, approximate=False)
-        return h @ w2 + b2
+        branch = h @ w2 + b2
+        per_row = jnp.repeat(gains, t // nsamp)[:, None]
+        return per_row * branch
 
-    ones = jnp.ones((4,), jnp.float32)  # 4 "samples" x 256 rows
-    out = fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2, ones, ones, tile, 0.0)
+    out = fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2, gains, gains, tile, 0.0)
     ref = oracle(x, lng, lnb, w1, b1, w2, b2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
@@ -111,7 +116,7 @@ def test_fused_ln_mlp_matches_oracle_multi_tile():
     ct = jnp.asarray(rng.standard_normal(ref.shape), jnp.float32)
 
     def f_fused(*a):
-        return (fused_ln_mlp(*a, ones, ones, tile, 0.0) * ct).sum()
+        return (fused_ln_mlp(*a, gains, gains, tile, 0.0) * ct).sum()
 
     def f_ref(*a):
         return (oracle(*a) * ct).sum()
@@ -123,6 +128,10 @@ def test_fused_ln_mlp_matches_oracle_multi_tile():
                            gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=5e-4, atol=5e-4, err_msg=name)
+
+    # contract violations fail loudly at trace time
+    with pytest.raises(ValueError, match="per-sample"):
+        fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2, gains, gains, 512, 0.0)
 
 
 def test_mlp_tile_rows():
@@ -502,6 +511,44 @@ def test_fused_block_post_norm_matches_unfused(with_ls):
         g_fused = jax.grad(lambda p: blk_fused.apply(
             {"params": p}, x, ids, True).sum())(variables["params"])
 
+    g_ref = jax.grad(lambda p: blk_unfused.apply(
+        {"params": p}, x, ids, True).sum())(variables["params"])
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-4)
+    flat_r = dict(jax.tree.leaves_with_path(g_ref))
+    for path, leaf in jax.tree.leaves_with_path(g_fused):
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_r[path]),
+            rtol=1e-3, atol=1e-3, err_msg=str(path),
+        )
+
+
+def test_fused_block_post_norm_mlp_fallback_matches_unfused(monkeypatch):
+    """The fused block's XLA MLP fallback (mlp_tiling returns (0, 0), e.g.
+    VMEM-infeasible hidden dims) must honor post_norm: fc1 reads raw x and
+    norm2 applies to the branch output — previously it silently pre-normed."""
+    import vsn_tpu.ops.swin_block_kernels as sbk
+
+    # swin3d imports mlp_tiling at call time from the kernels module
+    monkeypatch.setattr(sbk, "mlp_tiling", lambda *a, **k: (0, 0))
+
+    dims = (4, 4, 4)
+    c = 8
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((2, *dims, c)), jnp.float32)
+    ids = jnp.asarray(
+        shifted_window_region_ids(dims, (2, 2, 2), (1, 1, 1)))
+    kwargs = {**_block_kwargs(True), "post_norm": True}
+
+    blk_unfused = SwinBlock3D(**{**kwargs, "use_pallas": False})
+    variables = blk_unfused.init(jax.random.key(0), x, ids, True)
+    out_ref = blk_unfused.apply(variables, x, ids, True)
+
+    blk_fused = SwinBlock3D(**kwargs)
+    with _ForceTpu():
+        out_fused = blk_fused.apply(variables, x, ids, True)
+        g_fused = jax.grad(lambda p: blk_fused.apply(
+            {"params": p}, x, ids, True).sum())(variables["params"])
     g_ref = jax.grad(lambda p: blk_unfused.apply(
         {"params": p}, x, ids, True).sum())(variables["params"])
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),

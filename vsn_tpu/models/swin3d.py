@@ -1017,14 +1017,18 @@ class SwinBlock3D(nn.Module):
             x = out.reshape(x.shape).astype(self.dtype)
         else:
             # fused MLP kernel not applicable; same math via XLA on the
-            # declared params
-            y = _apply_layernorm(x, lng2, lnb2, self.dtype)
+            # declared params (incl. post-norm: fc1 reads raw x, norm2
+            # applies to the branch output — mirrors the kernel)
+            y = (x if self.post_norm
+                 else _apply_layernorm(x, lng2, lnb2, self.dtype))
             h1 = jnp.dot(y, w1.astype(self.dtype)) + b1.astype(self.dtype)
             hact = nn.gelu(h1.astype(jnp.float32), approximate=False)
             mlp_out = (
                 jnp.dot(hact.astype(self.dtype), w2.astype(self.dtype))
                 + b2.astype(self.dtype)
             )
+            if self.post_norm:
+                mlp_out = _apply_layernorm(mlp_out, lng2, lnb2, self.dtype)
             if gamma2 is not None:
                 mlp_out = (mlp_out.astype(jnp.float32) * gamma2).astype(
                     self.dtype)

@@ -195,7 +195,13 @@ def _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt,
         if bias_ref is not None:
             s = s + bias_ref[h]
         u = jnp.exp(jnp.minimum(s, 80.0))
-        r = 1.0 / jnp.sum(u, axis=-1, keepdims=True)        # [N, 1]
+        # +1e-30 (far below f32 epsilon of any real row sum, so bitwise
+        # inert there) keeps r finite if EVERY logit in a row underflows
+        # exp() — possible only with unbounded inputs (post-norm reads the
+        # raw residual stream); without it r = 1/0 = inf -> NaN outputs.
+        # Such a row outputs 0 instead of the reference's max-subtracted
+        # softmax mean — finite, and observable via attn_logit_max.
+        r = 1.0 / (jnp.sum(u, axis=-1, keepdims=True) + 1e-30)  # [N, 1]
         outs.append(_mm(u.astype(cdt), v, 1, 0) * r)
         if need_probs:
             probs.append((u, r))  # (u, r) basis — p = u * r never built
@@ -412,15 +418,14 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
 
 
 def attn_window_batch(n_windows: int, nsamp: int, n: int, c: int,
-                      n_heads: int, backward: bool) -> int:
+                      n_heads: int) -> int:
     """Windows per kernel program (the grid covers bw // wb programs).
 
     Measured (dispatch-free chain probe, stage-1 shapes, the flat [WB*N, C]
     kernel form): fwd 3.95/3.44/3.27/3.38 ms per kernel at wb=1/4/8/12,
     fwd+bwd 12.75/12.02/12.37/13.67 — window batching amortizes program
     launches and grows the LN/qkv/proj matmul M dim. BUT at full-step level
-    the win rounds to zero (bench 45.9 wb=1 vs 45.6 with wb=8-fwd/4-bwd
-    defaults) while the per-slot unrolling ballooned the train-step compile
+    the win rounds to zero (bench 45.9 wb=1 vs 45.6 at wb=8) while the per-slot unrolling ballooned the train-step compile
     from ~3 to ~23 min — so the default stays 1 and the env knob remains
     for shape-specific experiments. (The round-1 3D-dot kernel form
     measured wb=1 fastest per-kernel too, for a different reason: batched
@@ -429,8 +434,12 @@ def attn_window_batch(n_windows: int, nsamp: int, n: int, c: int,
     units = n_windows if n_windows > 1 else nsamp
     env = os.environ.get("VSN_ATTN_WB")
     if env:
-        wb = int(env)
-        if units % wb == 0 and attn_half_vmem_ok(c, n, n_heads, wb):
+        try:
+            wb = int(env)
+        except ValueError:
+            wb = 0  # malformed knob: fall through to the default
+        if wb > 1 and units % wb == 0 and attn_half_vmem_ok(
+                c, n, n_heads, wb):
             return wb
     return 1
 
@@ -481,7 +490,7 @@ def _attn_half_fwd(x, lng, lnb, wqkv, bqkv, bias, ids, wproj, bproj,
     nw = bw // nsamp
     has_bias = bias is not None
     has_ls = gamma is not None
-    wb = attn_window_batch(w if w > 1 else nw, nsamp, n, c, n_heads, False)
+    wb = attn_window_batch(w if w > 1 else nw, nsamp, n, c, n_heads)
     sp = _attn_specs(n, c, n_heads, w, nsamp, wb, has_bias)
     bias_arg = bias if has_bias else jnp.zeros((1, 1, 1), jnp.float32)
     gamma_arg = gamma if has_ls else jnp.zeros((c,), jnp.float32)
@@ -513,7 +522,7 @@ def _attn_half_bwd_arrays(x, lng, lnb, wqkv, bqkv, bias_arg, ids, wproj,
     w = ids.shape[0]
     nsamp = gb.shape[0]
     nw = bw // nsamp
-    wb = attn_window_batch(w if w > 1 else nw, nsamp, n, c, n_heads, True)
+    wb = attn_window_batch(w if w > 1 else nw, nsamp, n, c, n_heads)
     sp = _attn_specs(n, c, n_heads, w, nsamp, wb, has_bias)
     f32 = jnp.float32
     (dx, dlng, dlnb, dwqkv, dbqkv, dbias, dwproj, dbproj,
@@ -1060,13 +1069,24 @@ def fused_ln_mlp(x, lng, lnb, w1, b1, w2, b2, gf, gb, tile, lam,
         lng, lnb: [C] f32 LayerNorm scale/bias.
         w1: [C, HID]; b1: [HID]; w2: [HID, C]; b2: [C] (f32).
         gf, gb: [B] f32 per-sample forward/backward branch gains.
-        tile: static row-tile size (use ``mlp_tile_rows``).
+        tile: static row-tile size (use ``mlp_tiling`` — it returns a tile
+            that divides the PER-SAMPLE row count; ``mlp_tile_rows`` only
+            divides the total T and violates the contract below for B > 1).
         lam: static residual x-gain (0.0 yields the bare branch).
         gamma: optional [C] f32 LayerScale on the branch (before gains).
         post_norm: static — norm2 moves from the block input to the branch
             output (reference post-norm variant).
     Returns: [T, C] in x.dtype.
     """
+    t, nsamp = x.shape[0], gf.shape[0]
+    # The kernels index the per-sample gain as gf[program_id // tiles_per_
+    # sample]: every tile must lie inside ONE sample (rows are sample-
+    # major). A tile that spans samples applies the wrong sample's
+    # DropPath/ShakeDrop gain; tile > rows-per-sample divides by zero.
+    if t % nsamp != 0 or tile <= 0 or (t // nsamp) % tile != 0:
+        raise ValueError(
+            f"fused_ln_mlp: tile={tile} must divide the per-sample row "
+            f"count {t}//{nsamp} (use mlp_tiling, not mlp_tile_rows)")
     return _ln_mlp_fwd_dispatch(x, lng, lnb, w1, b1, w2, b2, gf, gb,
                                 gamma, tile, lam, post_norm)
 
