@@ -559,3 +559,36 @@ def test_fused_block_post_norm_mlp_fallback_matches_unfused(monkeypatch):
             np.asarray(leaf), np.asarray(flat_r[path]),
             rtol=1e-3, atol=1e-3, err_msg=str(path),
         )
+
+
+def test_dropout_config_keeps_fused_path_at_eval():
+    """dropout>0 statically excludes the fused kernels only for TRAINING
+    forwards; at deterministic eval dropout is a no-op, so eval/TTA of
+    dropout-trained models keeps the fast path and matches the unfused
+    eval output exactly."""
+    from vsn_tpu.models.swin3d import fused_block_gate
+
+    dims = (4, 4, 4)
+    c = 8
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.standard_normal((2, *dims, c)), jnp.float32)
+    kwargs = {**_block_kwargs(False), "dropout": 0.1,
+              "attention_dropout": 0.1}
+
+    blk_unfused = SwinBlock3D(**{**kwargs, "use_pallas": False})
+    variables = blk_unfused.init(jax.random.key(0), x, None, True)
+    out_ref = blk_unfused.apply(variables, x, None, True)  # deterministic
+
+    blk_fused = SwinBlock3D(**kwargs)
+    with _ForceTpu():
+        # train forward: dropout>0 -> gate closed
+        assert not fused_block_gate(
+            True, False, False, None, 0.1, 0.1, c, (2, 2, 2), 2,
+            deterministic=False)
+        # eval forward: gate open, fused == unfused
+        assert fused_block_gate(
+            True, False, False, None, 0.1, 0.1, c, (2, 2, 2), 2,
+            deterministic=True)
+        out_fused = blk_fused.apply(variables, x, None, True)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-4)

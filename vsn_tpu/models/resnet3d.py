@@ -187,6 +187,7 @@ def resnet_from_config(cfg, dtype=jnp.float32, variant: str | None = None):
     variant = variant or cfg.get("RESNET_VARIANT", "resnet18")
     block, layers = RESNET_LAYERS[variant]
     return ResNet3D(
+        in_channels=int(cfg.get("IN_CHANNELS", 1)),
         block=block,
         layers=layers,
         num_classes=cfg.num_classes,

@@ -231,16 +231,9 @@ def shifted_window_region_ids(
     positions beyond N are padded with -1 (they mask against every real id —
     consumed by the Pallas kernel)."""
 
-    def axis_regions(size, win, sh):
-        r = np.zeros(size, np.int64)
-        if sh > 0:
-            r[size - win : size - sh] = 1
-            r[size - sh :] = 2
-        return r
-
-    rd = axis_regions(dims[0], window[0], shift[0])
-    rh = axis_regions(dims[1], window[1], shift[1])
-    rw = axis_regions(dims[2], window[2], shift[2])
+    rd = _axis_region_labels(dims[0], window[0], shift[0])
+    rh = _axis_region_labels(dims[1], window[1], shift[1])
+    rw = _axis_region_labels(dims[2], window[2], shift[2])
     region = (
         rd[:, None, None] * 9 + rh[None, :, None] * 3 + rw[None, None, :]
     )  # [D, H, W]
@@ -721,13 +714,18 @@ class WindowAttention3D(nn.Module):
 
 
 def fused_block_gate(use_pallas, post_norm, layer_scale, norm_layer,
-                     dropout, attention_dropout, c, window, num_heads) -> bool:
+                     dropout, attention_dropout, c, window, num_heads,
+                     deterministic=False) -> bool:
     """Shared static gate for the fully-fused block kernels (SwinBlock3D
     delegates here; BasicLayer3D consults it to decide whether the stage may
     skip window padding in favor of the packed layout). LayerScale and
     post-norm ride the kernels in-band (gamma input + dgamma output;
     post_norm static moves norm1/norm2 onto the branch outputs), so neither
-    gates. Both stay in the signature for call-site stability."""
+    gates. Both stay in the signature for call-site stability.
+
+    Dropout rates only gate TRAINING forwards: with ``deterministic`` (eval,
+    TTA) dropout is a no-op and the kernels are exact, so dropout-trained
+    models keep the fast path at inference."""
     from vsn_tpu.ops.swin_block_kernels import attn_half_vmem_ok
 
     del layer_scale, post_norm
@@ -735,8 +733,7 @@ def fused_block_gate(use_pallas, post_norm, layer_scale, norm_layer,
     return (
         use_pallas
         and norm_layer in (None, False, "nn.LayerNorm", "LayerNorm")
-        and dropout == 0.0
-        and attention_dropout == 0.0
+        and (deterministic or (dropout == 0.0 and attention_dropout == 0.0))
         and attn_half_vmem_ok(c, n, num_heads)
         and jax.devices()[0].platform == "tpu"
     )
@@ -775,7 +772,8 @@ class SwinBlock3D(nn.Module):
     def __call__(self, x, region_ids: Optional[jax.Array],
                  deterministic: bool = True):
         if self.windows_io:
-            assert self.io_dims is not None and self._fused_ok(x.shape[-1])
+            assert self.io_dims is not None and self._fused_ok(
+                x.shape[-1], deterministic)
             return self._fused_call(x, region_ids, deterministic, None)
         b, d, h, w, c = x.shape
         norm_ctor = make_norm(self.norm_layer, self.dtype)
@@ -793,7 +791,7 @@ class SwinBlock3D(nn.Module):
         shortcut = x
         shifted = any(s > 0 for s in self.shift)
 
-        if self._fused_ok(c):
+        if self._fused_ok(c, deterministic):
             return self._fused_call(x, region_ids, deterministic, residual_kw)
 
         h_in = x if self.post_norm else norm_ctor(name="norm1")(x)
@@ -840,15 +838,17 @@ class SwinBlock3D(nn.Module):
         x = ResidualBranch(**residual_kw, name="res2")(x, mlp_out, deterministic)
         return x
 
-    def _fused_ok(self, c: int) -> bool:
-        """Static gate for the fully-fused block kernels: pre-norm
-        LayerNorm, zero dropout, no LayerScale, VMEM fits, on TPU. The
-        fused path declares a bit-identical param tree, so mixed
-        init/apply environments (e.g. CPU init, TPU apply) interoperate."""
+    def _fused_ok(self, c: int, deterministic: bool = False) -> bool:
+        """Static gate for the fully-fused block kernels: LayerNorm
+        (pre- OR post-norm and LayerScale ride the kernels in-band), zero
+        dropout, VMEM fits, on TPU. The fused path declares a bit-identical
+        param tree, so mixed init/apply environments (e.g. CPU init, TPU
+        apply) interoperate."""
         return fused_block_gate(
             self.use_pallas, self.post_norm, self.layer_scale,
             self.norm_layer, self.dropout, self.attention_dropout,
             c, tuple(self.window), self.num_heads,
+            deterministic=deterministic,
         )
 
     def _residual_gains(self, b: int, c: int, deterministic: bool,
@@ -1176,7 +1176,7 @@ class BasicLayer3D(nn.Module):
             and fused_block_gate(
                 self.use_pallas, self.post_norm, self.layer_scale,
                 self.norm_layer, self.dropout, self.attention_dropout,
-                c, window, self.num_heads,
+                c, window, self.num_heads, deterministic=deterministic,
             )
         )
 
@@ -1193,9 +1193,10 @@ class BasicLayer3D(nn.Module):
             and fused_block_gate(
                 self.use_pallas, self.post_norm, self.layer_scale,
                 self.norm_layer, self.dropout, self.attention_dropout,
-                c, window, self.num_heads,
+                c, window, self.num_heads, deterministic=deterministic,
             )
-            and (bool(int(env_wr)) if env_wr is not None else True)
+            and (env_wr.strip() not in ("0", "false", "off")
+                 if env_wr else True)
         )
 
         ids_noshift = ids_shift = None
@@ -1456,6 +1457,10 @@ def swin_from_config(cfg, dtype=jnp.float32) -> SwinTransformer3D:
     return SwinTransformer3D(
         patch_size=tuple(cfg.PATCH_SHAPE),
         num_classes=cfg.num_classes,
+        # single-channel MRI is the reference default; IN_CHANNELS keeps
+        # stable-init's embed fan-in honest for multi-channel data (the
+        # conv infers C from the input, but stable_embedding_std cannot)
+        in_channels=int(cfg.get("IN_CHANNELS", 1)),
         embed_dim=int(cfg.EMBED_DIM),
         depths=tuple(cfg.DEPTH),
         num_heads=tuple(cfg.HEADS),

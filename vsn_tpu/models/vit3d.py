@@ -195,7 +195,7 @@ class ViTBlock(nn.Module):
             dtype=self.dtype,
         )
 
-        if self._fused_attn_ok(x.shape[-1], x.shape[1]):
+        if self._fused_attn_ok(x.shape[-1], x.shape[1], deterministic):
             x = self._fused_attn_half(x, deterministic)
         else:
             attn_out = ViTAttention(
@@ -214,7 +214,7 @@ class ViTBlock(nn.Module):
             x = ResidualBranch(**residual_kw, name="res1")(
                 x, attn_out, deterministic)
 
-        if self._fused_mlp_ok():
+        if self._fused_mlp_ok(deterministic):
             return self._fused_mlp_half(x, deterministic)
 
         h = x if self.post_norm else norm_ctor(name="ff_prenorm")(x)
@@ -235,7 +235,8 @@ class ViTBlock(nn.Module):
         x = ResidualBranch(**residual_kw, name="res2")(x, ff_out, deterministic)
         return x
 
-    def _fused_attn_ok(self, c: int, t: int) -> bool:
+    def _fused_attn_ok(self, c: int, t: int,
+                       deterministic: bool = False) -> bool:
         """Static gate for the fused attention-half kernel (bias=None form
         of vsn_tpu/ops/swin_block_kernels.py:fused_attn_half — full-sequence
         attention is window attention with one 811-token window and no
@@ -247,8 +248,8 @@ class ViTBlock(nn.Module):
             self.use_pallas
             and self.norm_layer_name in (None, False, "nn.LayerNorm",
                                          "LayerNorm")
-            and self.dropout == 0.0
-            and self.attention_dropout == 0.0
+            and (deterministic
+                 or (self.dropout == 0.0 and self.attention_dropout == 0.0))
             and inner == c
             and not (self.heads == 1 and self.dim_head == c)
             and attn_half_vmem_ok(c, t, self.heads, with_bias=False)
@@ -301,17 +302,18 @@ class ViTBlock(nn.Module):
             )()
         return None, None
 
-    def _fused_mlp_ok(self) -> bool:
+    def _fused_mlp_ok(self, deterministic: bool = False) -> bool:
         """Static gate mirroring SwinBlock3D._fused_ok: the fused LN+MLP
         Pallas kernel (vsn_tpu/ops/swin_block_kernels.py:fused_ln_mlp,
         reusable per VERDICT round 1 item 4 — ViT's MLP halves are
-        shape-identical to Swin's [T, C] form) applies for pre-norm
-        LayerNorm, zero dropout, no LayerScale, on TPU."""
+        shape-identical to Swin's [T, C] form) applies for LayerNorm, zero
+        dropout (or any dropout at deterministic eval, where it is a
+        no-op), on TPU."""
         return (
             self.use_pallas
             and self.norm_layer_name in (None, False, "nn.LayerNorm",
                                          "LayerNorm")
-            and self.dropout == 0.0
+            and (deterministic or self.dropout == 0.0)
             and jax.devices()[0].platform == "tpu"
         )
 
@@ -511,6 +513,7 @@ def vit_from_config(cfg, dtype=jnp.float32) -> ViT3D:
     """
     img = cfg.input_size
     return ViT3D(
+        in_channels=int(cfg.get("IN_CHANNELS", 1)),
         img_size=img,
         patch_size=tuple(cfg.PATCH_SHAPE),
         num_classes=cfg.num_classes,
