@@ -27,6 +27,12 @@ past_deadline() {
         && [ "$(date +%s)" -ge "$VSN_QUEUE_DEADLINE" ]
 }
 
+# Per-entry timeout. Sized for a DEGRADED remote-compile service: on
+# 2026-08-19 a single small-geometry forward compile took 983 s (the
+# historical norm is 1-6 min for the whole train step), so the old 2400 s
+# budget died mid-compile. Override per entry with VSN_QUEUE_TIMEOUT.
+: "${VSN_QUEUE_TIMEOUT:=7200}"
+
 run() {
     local name=$1; shift
     if past_deadline; then
@@ -35,7 +41,7 @@ run() {
         return 0
     fi
     echo "=== $name start $(date +%H:%M:%S)" | tee -a /tmp/tpu_queue_status.log
-    timeout 2400 "$@" > "/tmp/q_${name}.log" 2>&1
+    timeout "$VSN_QUEUE_TIMEOUT" "$@" > "/tmp/q_${name}.log" 2>&1
     local rc=$?
     echo "=== $name rc=$rc end $(date +%H:%M:%S)" \
         | tee -a /tmp/tpu_queue_status.log
