@@ -45,10 +45,10 @@ def main():
     cfg = load_config("vsn_tpu/configs/swin-5c-no_seed-baseline.yaml")
     global N_VOLS
     if "--small" in sys.argv:  # CPU smoke: tiny geometry, few volumes
-        cfg = cfg.replace(RESHAPE_SIZE=[24, 28, 24])
+        cfg = cfg.replace(IMG_SIZE=[24, 28, 24])
         N_VOLS = 8
     model = build_model(cfg)
-    d, h, w = cfg.RESHAPE_SIZE
+    d, h, w = cfg.input_size
     key = jax.random.PRNGKey(0)
 
     store = ResidentVolumes(

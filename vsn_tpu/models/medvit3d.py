@@ -109,9 +109,9 @@ class ConvBNReLU(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         k = self.kernel_size
         if self.groups == 1:
-            # Tap-unfolded on TPU when C_in is tiny (stem0's C_in=1 3^3
+            # Pallas im2col on TPU when C_in is tiny (stem0's C_in=1 3^3
             # stride-2 conv otherwise contracts K=1 on the MXU — see
-            # vsn_tpu/ops/conv_unfold.py); plain conv otherwise. Param
+            # vsn_tpu/ops/stem_im2col.py); plain conv otherwise. Param
             # tree identical to nn.Conv.
             from vsn_tpu.ops.conv_unfold import UnfoldedConv
 

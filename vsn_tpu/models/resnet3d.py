@@ -135,10 +135,11 @@ class ResNet3D(nn.Module):
         block_cls = BasicBlock3D if self.block == "basic" else Bottleneck3D
         expansion = 1 if self.block == "basic" else 4
 
-        # Tap-unfolded stem: the C_in=1 7^3 conv runs at 1/128 MXU
+        # Pallas im2col stem: the C_in=1 7^3 conv runs at 1/128 MXU
         # utilization under XLA (154.5 ms fwd at micro 8 — BASELINE.md);
-        # unfolding the stride-2 H/W taps into 49 channels makes the
-        # per-tap contraction K=49. Same param tree as nn.Conv.
+        # the halo-im2col kernel (ops/stem_im2col.py) contracts all 343
+        # taps on the MXU with the tap matrix living only in VMEM. Same
+        # param tree as nn.Conv.
         from vsn_tpu.ops.conv_unfold import UnfoldedConv
 
         x = UnfoldedConv(64, (7, 7, 7), strides=(1, 2, 2), padding=(3, 3, 3),

@@ -23,6 +23,14 @@ kernel — per-tap contraction K=49. MedViT stem0 (3,3,3)/(2,2,2): all axes
 unfold, leaving a pure [M, 27] @ [27, C_out] matmul. Both are exact
 reformulations (same params, same math up to float summation order).
 
+MEASURED FAILURE at production geometry (2026-08-19, /tmp/q_arch.log):
+XLA materializes every tap slice in HBM with its 1-2-wide channel dim on
+the 128 lanes — 85-170x tile padding, 3.4 GB per slice, 100 GB total →
+compile OOM. ``tap_unfolded_conv`` is therefore OPT-IN ONLY
+(VSN_UNFOLD_STEM=1, for small-geometry A/Bs); the production stem path is
+the VMEM-only Pallas im2col kernel in ``ops/stem_im2col.py``, which
+``UnfoldedConv`` routes to on TPU.
+
 Reference stems this accelerates: /root/reference/models/resnet_3d.py:129-137
 (conv1) and /root/reference/models/medvit_3d.py:543-549 (stem conv 0).
 """
@@ -166,13 +174,22 @@ def tap_unfolded_conv(x: jax.Array, kernel: jax.Array,
 
 
 def _unfold_active(strides, kernel_shape, c_in) -> bool:
+    """Opt-in only: the XLA tap-unfold compile-OOMs at production geometry
+    (module docstring) — it exists for small-geometry A/Bs and tests."""
     env = os.environ.get("VSN_UNFOLD_STEM")
+    return (env is not None and bool(int(env))
+            and should_unfold(strides, kernel_shape, c_in))
+
+
+def _im2col_active(strides, kernel_shape, padding, c_in) -> bool:
+    from vsn_tpu.ops.stem_im2col import should_im2col
+
+    if not should_im2col(strides, kernel_shape, padding, c_in):
+        return False
+    env = os.environ.get("VSN_STEM_IM2COL")
     if env is not None:
-        return bool(int(env)) and should_unfold(strides, kernel_shape, c_in)
-    return (
-        should_unfold(strides, kernel_shape, c_in)
-        and jax.devices()[0].platform == "tpu"
-    )
+        return bool(int(env))
+    return jax.devices()[0].platform == "tpu"
 
 
 def depthwise_conv3d_shift(x: jax.Array, kernel: jax.Array,
@@ -245,10 +262,13 @@ class DepthwiseConv(nn.Module):
 
 
 class UnfoldedConv(nn.Module):
-    """nn.Conv(use_bias=False) drop-in whose TPU path runs the tap-unfolded
-    form. Declares the identical param ('kernel', DHWIO) so checkpoints and
-    init behavior match nn.Conv exactly; falls back to lax conv off-TPU
-    (override with VSN_UNFOLD_STEM=0/1)."""
+    """nn.Conv(use_bias=False) drop-in whose TPU path runs the Pallas
+    halo-im2col stem kernel (ops/stem_im2col.py; force with
+    VSN_STEM_IM2COL=0/1). Declares the identical param ('kernel', DHWIO)
+    so checkpoints and init behavior match nn.Conv exactly; falls back to
+    lax conv otherwise. The legacy XLA tap-unfold form stays available
+    via VSN_UNFOLD_STEM=1 for small-geometry A/Bs only (it compile-OOMs
+    at production size — module docstring)."""
 
     features: int
     kernel_size: Tuple[int, int, int]
@@ -264,6 +284,13 @@ class UnfoldedConv(nn.Module):
             "kernel", self.kernel_init,
             (*self.kernel_size, c_in, self.features), jnp.float32,
         )
+        if _im2col_active(self.strides, self.kernel_size, self.padding,
+                          c_in):
+            from vsn_tpu.ops.stem_im2col import stem_conv_im2col
+
+            return stem_conv_im2col(
+                x, kernel, self.strides, self.padding, dtype=self.dtype
+            )
         if _unfold_active(self.strides, self.kernel_size, c_in):
             return tap_unfolded_conv(
                 x, kernel, self.strides, self.padding, dtype=self.dtype
