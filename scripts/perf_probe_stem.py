@@ -1,11 +1,17 @@
-"""Isolate the C_in=1 stem-conv cost and the tap-unfolded fix.
+"""Isolate the C_in=1 stem-conv cost and the Pallas im2col fix.
 
 perf_probe_medvit_resnet.py measured the ResNet-18 7x7x7 stride-(1,2,2)
 stem at 209 ms fwd+bwd (micro 8) — ~60% of its whole train step — and the
 MedViT 3x3x3 stride-2 stem0 similarly hot; the forward alone is 154.5 ms
 (306 GFLOP at ~2 TFLOP/s = the MXU contracting K=C_in=1). This probe
-compares the plain conv against vsn_tpu/ops/conv_unfold.tap_unfolded_conv
-for fwd / input-grad / filter-grad / full.
+compares the plain conv against vsn_tpu/ops/stem_im2col.stem_conv_im2col
+for fwd / input-grad / filter-grad / full, asserting numeric parity on
+the first call. (The earlier XLA tap-unfold variant compile-OOMs at this
+geometry — conv_unfold.py docstring — and is no longer probed here.)
+
+In the train step only fwd + dw matter: the stem is the first layer, so
+its dx (which the im2col path routes through the plain XLA conv VJP) is
+dead code there.
 
 Usage: setsid nohup timeout 1500 python scripts/perf_probe_stem.py \
     > /tmp/stemprobe.log 2>&1 &
@@ -22,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from vsn_tpu.ops.conv_unfold import tap_unfolded_conv
+from vsn_tpu.ops.stem_im2col import stem_conv_im2col
 
 MICRO = 8
 DT = jnp.bfloat16
@@ -47,8 +53,8 @@ def conv_fn(w, x, stride, pad):
     )
 
 
-def unf_fn(w, x, stride, pad):
-    return tap_unfolded_conv(x, w, stride, pad)
+def im2col_fn(w, x, stride, pad):
+    return stem_conv_im2col(x, w, stride, pad)
 
 
 def probe(name, kshape, stride, pad):
@@ -56,7 +62,17 @@ def probe(name, kshape, stride, pad):
     x = jnp.asarray(rng.standard_normal((MICRO, 144, 168, 144, kshape[3])), DT)
     w = jnp.asarray(rng.standard_normal(kshape) * 0.05, DT)
 
-    for tag, fn in (("conv", conv_fn), ("unf", unf_fn)):
+    # parity gate before timing: fused kernel vs XLA conv on this chip
+    ref = jax.jit(lambda: conv_fn(w, x, stride, pad))()
+    got = jax.jit(lambda: im2col_fn(w, x, stride, pad))()
+    d = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                              - ref.astype(jnp.float32))))
+    s = float(jnp.max(jnp.abs(ref.astype(jnp.float32))))
+    print(f"{name} im2col-vs-conv max|d| {d:.3e} (scale {s:.3e})",
+          flush=True)
+    assert d <= 2e-2 * max(s, 1.0), f"{name} PARITY FAIL: {d} vs {s}"
+
+    for tag, fn in (("conv", conv_fn), ("im2col", im2col_fn)):
         f = lambda ww, xx: fn(ww, xx, stride, pad)
         timeit(f"{name}_{tag}_fwd",
                jax.jit(lambda: f(w, x).astype(jnp.float32).sum()))
