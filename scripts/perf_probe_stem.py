@@ -74,8 +74,8 @@ def probe(name, kshape, stride, pad):
 
     for tag, fn in (("conv", conv_fn), ("im2col", im2col_fn)):
         f = lambda ww, xx: fn(ww, xx, stride, pad)
-        timeit(f"{name}_{tag}_fwd",
-               jax.jit(lambda: f(w, x).astype(jnp.float32).sum()))
+        fwd = jax.jit(lambda ww, xx: f(ww, xx).astype(jnp.float32).sum())
+        timeit(f"{name}_{tag}_fwd", lambda: fwd(w, x))
         dx = jax.jit(jax.grad(
             lambda xx: f(jax.lax.stop_gradient(w), xx)
             .astype(jnp.float32).sum()))
@@ -109,8 +109,12 @@ def probe_depthwise(name, spatial, c):
         return depthwise_conv3d_shift(xx, ww)
 
     for tag, fn in (("grp", grouped), ("shift", shift)):
-        timeit(f"{name}_{tag}_fwd",
-               jax.jit(lambda fn=fn: fn(w, x).astype(jnp.float32).sum()))
+        # pass operands as jit ARGUMENTS: a nullary closure bakes the
+        # 320 MB input into the MLIR as a constant literal and the
+        # remote-compile RPC rejects the body with HTTP 413
+        fwd = jax.jit(lambda ww, xx, fn=fn: fn(ww, xx)
+                      .astype(jnp.float32).sum())
+        timeit(f"{name}_{tag}_fwd", lambda: fwd(w, x))
         full = jax.jit(jax.grad(
             lambda ww, xx, fn=fn: fn(ww, xx).astype(jnp.float32).sum(),
             argnums=(0, 1)))

@@ -10,35 +10,46 @@ materializes every tap slice in HBM with its 1-2-wide channel dim on the
 OOM (measured 2026-08-19, /tmp/q_arch.log). The im2col matrix must never
 touch HBM.
 
-This kernel builds it in VMEM only:
+This kernel builds it in VMEM only. Layout is everything — the v1 kernel
+(git 534d94c) built [taps, Ho, Wo] with one small copy per tap plus a
+leading<->sublane swapaxes, and measured copy-bound at 77 ms (2x over the
+XLA conv, but ~2% MXU). v2 stores the parity planes **z-on-sublanes** so
+the whole build is a handful of large static copies:
 
   * host side (XLA, forward-only — it sits under a custom_vjp, so the
     strided-slice backward that faults the TPU worker is never taken):
-    zero-pad, then split each stride-2 axis into its 2 parity planes,
-    giving ``P [B, nper, D', H', W']`` where every kernel tap becomes a
-    CONTIGUOUS slice of one parity plane;
-  * one Pallas program per (batch, output-z-plane): DMA the [nper, zin,
-    H', W'] slab into VMEM, copy the ``taps`` slices into an im2col
-    scratch ``[taps, Ho, Wo]``, transpose once in VMEM to ``[Ho, taps,
-    Wo]``, and contract tap-rows against the ``[taps, C_out]`` weight
-    matrix on the MXU (K = taps = 343 for the ResNet stem vs the 1 XLA
-    manages);
-  * backward: dW reuses the identical in-VMEM im2col (``[taps, Wo] x
-    [Wo, C_out]`` per row, f32-accumulated into a revisited output block
-    across the sequential TPU grid); dx is emitted through ``jax.vjp`` of
-    the plain XLA conv — stems are the first layer, so dx is dead code
-    XLA removes, and when a test does ask for it the reference formula is
-    exactly right.
+    zero-pad, split each stride-2 axis into its parity planes, and lay
+    the result out as ``P [B, nper, H', D', W']`` — output-z slabs are
+    then *sublane* ranges, and every kernel tap is a contiguous
+    (lead, sublane, lane) box;
+  * one Pallas program per (batch, output-z-plane): DMA the 16-aligned
+    [nper, H', 24, W'] slab, rotate the z offset once in VMEM, then ONE
+    3D copy per (dy, dx[, z-parity]) tap GROUP — 49 copies for the 7^3
+    stem — fills the im2col scratch ``[Ho, taps, Wo]`` with tap rows on
+    sublanes, exactly where the MXU wants its contraction;
+  * per output row, one [taps, Wo] x [taps, C_out] MXU dot (K = 343 for
+    the ResNet stem vs the 1 XLA manages);
+  * backward: dW reuses the identical in-VMEM im2col ([taps, Wo] x
+    [Wo, C_out] per row, f32-accumulated into a revisited output block
+    across the sequential TPU grid); VSN_STEM_DW=xla switches dW to the
+    plain XLA conv VJP (which contracts K = tokens and is itself fast —
+    28 ms measured; pick whichever the probe says). dx always goes
+    through ``jax.vjp`` of the plain XLA conv — stems are the first
+    layer, so dx is dead code XLA removes, and when a test does ask for
+    it the reference formula is exactly right.
 
 Reference stems this accelerates: /root/reference/models/resnet_3d.py:129-137
-(conv1, 7^3 stride (1,2,2)) and /root/reference/models/medvit_3d.py:543-549
-(stem conv 0, 3^3 stride 2).
+(conv1, 7^3 stride (1,2,2)). MedViT's 3^3 stem0
+(/root/reference/models/medvit_3d.py:543-549) measured FASTER as a plain
+XLA conv (10.4 vs 23.1 ms — 27 taps don't amortize the im2col build), so
+``should_im2col`` requires taps >= 64.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+import os
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -47,15 +58,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vsn_tpu.ops.window_attention import _on_tpu
 
-# Stem programs keep the whole [taps<=343, Ho, Wo] im2col + its transpose
-# in VMEM (~17 MB at ResNet geometry); v5e has 128 MB.
+# The im2col scratch [Ho, taps<=343, Wo] is ~8 MB at ResNet geometry plus
+# slab/rotate buffers; v5e has 128 MB VMEM.
 _CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+_SLAB = 16     # DMA z-extent: 8-aligned start + zoff<8 + zin<=8
+_ALIGN = 8     # sublane alignment for the slab's DMA start
 
 
 def should_im2col(strides: Sequence[int], kernel_shape: Sequence[int],
                   padding: Sequence[int], c_in: int) -> bool:
     """Supported + profitable: C_in=1 (the MXU-starved case), odd kernels
-    with SAME-style padding, strides in {1, 2}, bounded tap count."""
+    with SAME-style padding, strides in {1, 2}, and enough taps to
+    amortize the in-VMEM im2col build (3^3 = 27 taps measured slower than
+    the plain conv; 7^3 = 343 measured faster)."""
     if c_in != 1:
         return False
     if any(s not in (1, 2) for s in strides):
@@ -65,21 +81,27 @@ def should_im2col(strides: Sequence[int], kernel_shape: Sequence[int],
     taps = 1
     for k in kernel_shape:
         taps *= k
-    return taps <= 512
+    zin = ((kernel_shape[0] + 1) // 2 if strides[0] == 2
+           else kernel_shape[0])
+    return 64 <= taps <= 512 and zin <= 8
 
 
 def _geometry(shape, kernel_shape, strides, padding):
-    """Static per-axis plan. Returns (pads, halves, outs, zin, taps_table).
+    """Static plan. Returns (pads, halves, outs, zin, blocks, perm).
 
     pads: (lo, hi) zero padding per spatial axis (hi grows by 1 on odd
       stride-2 extents so the parity split is exact).
     halves: parity-plane extent per axis (= padded, or padded//2 if
       strided).
     outs: conv output extent per axis.
-    zin: z-extent of the per-program parity slab.
-    taps_table: per tap (parity-plane index, z/y/x offsets into the
-      plane) in (dz, dy, dx) C-order — the order ``kernel.reshape(taps,
-      C_out)`` produces.
+    zin: z-extent (in parity planes) each output z-plane reads.
+    blocks: per tap GROUP (par, y0, x0, row0, nrows) — group = one
+      (dy, dx[, z-parity]) combination; its nrows z-taps are a contiguous
+      sublane range of one parity plane AND a contiguous row range of the
+      im2col scratch.
+    perm: tap permutation such that kernel.reshape(taps, C)[perm] matches
+      the scratch's row order (groups in (dy, dx, pz) order, z ascending
+      within a group).
     """
     pads, halves, outs = [], [], []
     for ax in range(3):
@@ -87,33 +109,44 @@ def _geometry(shape, kernel_shape, strides, padding):
         lo, hi = p, p
         if s == 2 and (size + lo + hi) % 2:
             hi += 1
-        out = (size + 2 * p - k) // s + 1
+        outs.append((size + 2 * p - k) // s + 1)
         padded = size + lo + hi
         pads.append((lo, hi))
         halves.append(padded // 2 if s == 2 else padded)
-        outs.append(out)
-    kd = kernel_shape[0]
-    zin = (kd + 1) // 2 if strides[0] == 2 else kd
+    kd, kh, kw = kernel_shape
+    sz, sy, sx = strides
+    zin = (kd + 1) // 2 if sz == 2 else kd
+
     # parity index: strided axes in z,y,x order, earlier axis more
     # significant — matches the host-side split order in _parity_split.
-    table = []
-    for dz in range(kernel_shape[0]):
-        for dy in range(kernel_shape[1]):
-            for dx in range(kernel_shape[2]):
-                par, offs = 0, []
-                for ax, d in zip(range(3), (dz, dy, dx)):
-                    if strides[ax] == 2:
-                        par = par * 2 + d % 2
-                        offs.append(d // 2)
-                    else:
-                        offs.append(d)
-                table.append((par, *offs))
-    # conv arithmetic must land every tap slice inside the parity planes
+    def par_of(dz, dy, dx):
+        par = 0
+        for ax, d in zip(range(3), (dz, dy, dx)):
+            if strides[ax] == 2:
+                par = par * 2 + d % 2
+        return par
+
+    blocks, perm, row = [], [], 0
+    for dy in range(kh):
+        y0 = dy // 2 if sy == 2 else dy
+        for dx in range(kw):
+            x0 = dx // 2 if sx == 2 else dx
+            for pz in range(2) if sz == 2 else (0,):
+                dzs = [d for d in range(kd) if sz == 1 or d % 2 == pz]
+                if not dzs:
+                    continue
+                blocks.append((par_of(dzs[0], dy, dx), y0, x0, row,
+                               len(dzs)))
+                for d in dzs:
+                    perm.append(d * (kh * kw) + dy * kw + dx)
+                row += len(dzs)
+    assert row == kd * kh * kw
     assert outs[0] - 1 + zin <= halves[0], (outs, zin, halves)
     for ax in (1, 2):
-        m = max(t[1 + ax] for t in table)
+        m = (kernel_shape[ax] - 1) // 2 if strides[ax] == 2 \
+            else kernel_shape[ax] - 1
         assert m + outs[ax] <= halves[ax], (ax, m, outs, halves)
-    return pads, halves, outs, zin, table
+    return pads, halves, outs, zin, blocks, perm
 
 
 def _parity_split(x_pad: jax.Array, strides) -> jax.Array:
@@ -135,14 +168,31 @@ def _parity_split(x_pad: jax.Array, strides) -> jax.Array:
 
 
 def _prep(x: jax.Array, kernel_shape, strides, padding):
-    """Pad + parity-split the [B, D, H, W, 1] input; returns (P, geometry)."""
-    b = x.shape[0]
+    """Pad + parity-split + relayout the [B, D, H, W, 1] input.
+
+    Returns (P [B, nper, H', D'', W''], geometry). z sits on SUBLANES
+    (dim 3) so the kernel's output-z slab is a sublane range; D'' is
+    padded so every 16-aligned [_SLAB]-extent slice stays in bounds, and
+    W'' to the 128-lane tile, keeping the HBM slab DMA slices
+    tile-aligned (Mosaic rejects unaligned sublane/lane slice extents).
+    All pad zeros sit beyond every tap slice's reach."""
     shape = x.shape[1:4]
-    pads, halves, outs, zin, table = _geometry(
+    pads, halves, outs, zin, blocks, perm = _geometry(
         shape, kernel_shape, strides, padding
     )
     x_pad = jnp.pad(x[..., 0], [(0, 0), *pads])
-    return _parity_split(x_pad, strides), (halves, outs, zin, table)
+    p_arr = _parity_split(x_pad, strides)      # [B, nper, D', H', W']
+    p_arr = p_arr.transpose(0, 1, 3, 2, 4)     # [B, nper, H', D', W']
+    d_need = max(halves[0],
+                 _ALIGN * ((outs[0] - 1) // _ALIGN) + _SLAB)
+    w128 = -halves[2] % 128
+    if d_need > halves[0] or w128:
+        p_arr = jnp.pad(
+            p_arr,
+            [(0, 0), (0, 0), (0, 0), (0, d_need - halves[0]), (0, w128)],
+        )
+    dims = (halves[1], d_need, halves[2] + w128)  # (H', D'', W'')
+    return p_arr, (dims, outs, zin, blocks, perm)
 
 
 def _ref_conv(x, kernel, strides, padding, dt):
@@ -153,24 +203,41 @@ def _ref_conv(x, kernel, strides, padding, dt):
     ).astype(dt)
 
 
+def _build_im2col(p_hbm, w_or_none, pv, pva, im_b, sem, geometry):
+    """Shared fwd/dw body: DMA the slab for (program b, zo), rotate the z
+    offset once, then one 3D copy per tap group into im_b [Ho, taps, Wo].
+    """
+    (hq, dq, wq), outs, zin, blocks, _ = geometry
+    do, ho, wo = outs
+    bi = pl.program_id(0)
+    zo = pl.program_id(1)
+    z16 = pl.multiple_of((zo // _ALIGN) * _ALIGN, _ALIGN)
+    cp = pltpu.make_async_copy(
+        p_hbm.at[bi, :, :, pl.ds(z16, _SLAB), :], pv, sem
+    )
+    cp.start()
+    cp.wait()
+    # one z-offset realignment so tap groups read static z offsets.
+    # pl.ds with a dynamic sublane start is rejected (Mosaic cannot prove
+    # 8-alignment) and tpu.dynamic_rotate only does 32-bit data, so pick
+    # the STATIC unaligned slice (supported) with an 8-way switch.
+    v = pv[:]
+    pva[:] = jax.lax.switch(
+        zo - z16, [lambda i=i: v[:, :, i:i + 8, :] for i in range(_ALIGN)]
+    )
+    for par, y0, x0, row0, nr in blocks:
+        im_b[:, row0:row0 + nr, :] = pva[par, y0:y0 + ho, 0:nr,
+                                         x0:x0 + wo]
+
+
 def _fwd_pallas(p_arr, w2, geometry, dt):
-    halves, outs, zin, table = geometry
+    dims, outs, zin, blocks, _ = geometry
     b, nper = p_arr.shape[:2]
     do, ho, wo = outs
     taps, co = w2.shape
 
-    def kernel(p_hbm, w_ref, out_ref, pv, im_a, im_b, sem):
-        bi = pl.program_id(0)
-        zo = pl.program_id(1)
-        cp = pltpu.make_async_copy(
-            p_hbm.at[bi, :, pl.ds(zo, zin)], pv, sem
-        )
-        cp.start()
-        cp.wait()
-        for t, (par, z0, y0, x0) in enumerate(table):
-            im_a[t] = pv[par, z0, y0:y0 + ho, x0:x0 + wo]
-        # one VMEM relayout so tap-rows sit on sublanes for the MXU
-        im_b[:] = jnp.swapaxes(im_a[:], 0, 1)
+    def kernel(p_hbm, w_ref, out_ref, pv, pva, im_b, sem):
+        _build_im2col(p_hbm, w_ref, pv, pva, im_b, sem, geometry)
 
         def body(r, _):
             y = jax.lax.dot_general(
@@ -195,8 +262,8 @@ def _fwd_pallas(p_arr, w2, geometry, dt):
         ),
         out_shape=jax.ShapeDtypeStruct((b, do, ho, wo, co), dt),
         scratch_shapes=[
-            pltpu.VMEM((nper, zin, halves[1], halves[2]), p_arr.dtype),
-            pltpu.VMEM((taps, ho, wo), p_arr.dtype),
+            pltpu.VMEM((nper, dims[0], _SLAB, dims[2]), p_arr.dtype),
+            pltpu.VMEM((nper, dims[0], 8, dims[2]), p_arr.dtype),
             pltpu.VMEM((ho, taps, wo), p_arr.dtype),
             pltpu.SemaphoreType.DMA,
         ],
@@ -205,28 +272,18 @@ def _fwd_pallas(p_arr, w2, geometry, dt):
     )(p_arr, w2)
 
 
-def _dw_pallas(p_arr, g, geometry):
+def _dw_pallas(p_arr, g, geometry, taps):
     """dW[t, c] = sum over tokens of im2col[t, token] * dout[token, c],
     f32-accumulated into one revisited [taps, C_out] output block across
     the sequential TPU grid (the same pattern as
     ops/swin_block_kernels.py's parameter grads)."""
-    halves, outs, zin, table = geometry
+    dims, outs, zin, blocks, _ = geometry
     b, nper = p_arr.shape[:2]
     do, ho, wo = outs
-    taps = len(table)
     co = g.shape[-1]
 
-    def kernel(p_hbm, g_ref, dw_ref, pv, im_a, im_b, acc, sem):
-        bi = pl.program_id(0)
-        zo = pl.program_id(1)
-        cp = pltpu.make_async_copy(
-            p_hbm.at[bi, :, pl.ds(zo, zin)], pv, sem
-        )
-        cp.start()
-        cp.wait()
-        for t, (par, z0, y0, x0) in enumerate(table):
-            im_a[t] = pv[par, z0, y0:y0 + ho, x0:x0 + wo]
-        im_b[:] = jnp.swapaxes(im_a[:], 0, 1)
+    def kernel(p_hbm, g_ref, dw_ref, pv, pva, im_b, acc, sem):
+        _build_im2col(p_hbm, None, pv, pva, im_b, sem, geometry)
         acc[:] = jnp.zeros_like(acc)
 
         def body(r, _):
@@ -263,8 +320,8 @@ def _dw_pallas(p_arr, g, geometry):
         ),
         out_shape=jax.ShapeDtypeStruct((taps, co), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((nper, zin, halves[1], halves[2]), p_arr.dtype),
-            pltpu.VMEM((taps, ho, wo), p_arr.dtype),
+            pltpu.VMEM((nper, dims[0], _SLAB, dims[2]), p_arr.dtype),
+            pltpu.VMEM((nper, dims[0], 8, dims[2]), p_arr.dtype),
             pltpu.VMEM((ho, taps, wo), p_arr.dtype),
             pltpu.VMEM((taps, co), jnp.float32),
             pltpu.SemaphoreType.DMA,
@@ -285,22 +342,36 @@ def _stem_conv_fwd(x, kernel, strides, padding, dt):
     p_arr, geometry = _prep(
         x.astype(dt), kernel.shape[:3], strides, padding
     )
-    w2 = kernel.astype(dt).reshape(-1, c_out)
+    perm = geometry[-1]
+    w2 = kernel.astype(dt).reshape(-1, c_out)[jnp.asarray(perm)]
     y = _fwd_pallas(p_arr, w2, geometry, dt)
     return y, (x, kernel)
 
 
 def _stem_conv_bwd(strides, padding, dt, res, g):
     x, kernel = res
-    p_arr, geometry = _prep(x.astype(dt), kernel.shape[:3], strides, padding)
-    dw2 = _dw_pallas(p_arr, g.astype(dt), geometry)
-    dkernel = dw2.reshape(kernel.shape).astype(kernel.dtype)
+    taps = kernel.shape[0] * kernel.shape[1] * kernel.shape[2]
+    if os.environ.get("VSN_STEM_DW", "pallas") == "pallas":
+        p_arr, geometry = _prep(
+            x.astype(dt), kernel.shape[:3], strides, padding
+        )
+        perm = geometry[-1]
+        dw2 = _dw_pallas(p_arr, g.astype(dt), geometry, taps)
+        inv = jnp.zeros((taps,), jnp.int32).at[jnp.asarray(perm)].set(
+            jnp.arange(taps, dtype=jnp.int32)
+        )
+        dkernel = dw2[inv].reshape(kernel.shape).astype(kernel.dtype)
+    else:
+        _, vjp_w = jax.vjp(
+            lambda kk: _ref_conv(x, kk, strides, padding, dt), kernel
+        )
+        dkernel = vjp_w(g.astype(dt))[0].astype(kernel.dtype)
     # dx through the reference XLA conv's VJP: exact, and dead code the
     # compiler removes in the stem position (x is the network input).
-    _, vjp = jax.vjp(
+    _, vjp_x = jax.vjp(
         lambda xx: _ref_conv(xx, kernel, strides, padding, dt), x
     )
-    dx = vjp(g.astype(dt))[0].astype(x.dtype)
+    dx = vjp_x(g.astype(dt))[0].astype(x.dtype)
     return dx, dkernel
 
 
@@ -311,7 +382,7 @@ def stem_conv_im2col(x: jax.Array, kernel: jax.Array,
                      strides: Sequence[int], padding: Sequence[int],
                      dtype=None) -> jax.Array:
     """Exact conv(x, kernel) for C_in=1 stems via the VMEM-only im2col
-    kernel. Gate with :func:`should_im2col` first; falls back is the
+    kernel. Gate with :func:`should_im2col` first; falling back is the
     caller's job (``ops/conv_unfold.UnfoldedConv``).
 
     Args:
