@@ -232,9 +232,16 @@ def depthwise_conv3d_shift(x: jax.Array, kernel: jax.Array,
 
 
 class DepthwiseConv(nn.Module):
-    """nn.Conv(feature_group_count=C, use_bias=False) drop-in running the
-    shift-multiply VPU form on TPU (identical 'kernel' param, DHWIO
-    [k,k,k,1,C]); lax grouped conv elsewhere. Override: VSN_DW_SHIFT=0/1."""
+    """nn.Conv(feature_group_count=C, use_bias=False) drop-in (identical
+    'kernel' param, DHWIO [k,k,k,1,C]).
+
+    MEASURED 2026-08-19 (scripts/perf_probe_stem.py dw384, v5e, MedViT
+    stage-0 LFF shape): XLA's grouped conv runs 5.3 ms fwd / 7.2 full vs
+    the shift-multiply VPU form's 16.0 / 44.6 — the round-2 hypothesis
+    that group-size-1 convs strand the MXU at K=1 is REFUTED at this
+    shape (XLA's depthwise lowering is fine). Default is therefore the
+    grouped conv everywhere; VSN_DW_SHIFT=1 keeps the shift form
+    available for A/Bs."""
 
     kernel_size: Tuple[int, int, int]
     kernel_init: object = nn.initializers.lecun_normal()
@@ -248,8 +255,7 @@ class DepthwiseConv(nn.Module):
             jnp.float32,
         )
         env = os.environ.get("VSN_DW_SHIFT")
-        on = (bool(int(env)) if env is not None
-              else jax.devices()[0].platform == "tpu")
+        on = bool(int(env)) if env is not None else False
         if on:
             return depthwise_conv3d_shift(x, kernel, dtype=self.dtype)
         return jax.lax.conv_general_dilated(

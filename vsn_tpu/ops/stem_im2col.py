@@ -351,7 +351,9 @@ def _stem_conv_fwd(x, kernel, strides, padding, dt):
 def _stem_conv_bwd(strides, padding, dt, res, g):
     x, kernel = res
     taps = kernel.shape[0] * kernel.shape[1] * kernel.shape[2]
-    if os.environ.get("VSN_STEM_DW", "pallas") == "pallas":
+    # default xla: XLA's dW conv contracts K = tokens and measured 29.3 ms
+    # vs the Pallas im2col dW's 52.9 (scripts/perf_probe_stem.py, v5e)
+    if os.environ.get("VSN_STEM_DW", "xla") == "pallas":
         p_arr, geometry = _prep(
             x.astype(dt), kernel.shape[:3], strides, padding
         )
