@@ -1268,9 +1268,22 @@ class BasicLayer3D(nn.Module):
                 name=f"block{i}",
             )(x, region_ids, deterministic)
         if use_winres:
-            x = window_reverse(x, window, (d, h, w))
-            if any(cur):
-                x = roll3d(x, cur)
+            from vsn_tpu.ops.window_relayout import (
+                relayout_active,
+                windows_to_spatial,
+            )
+
+            if any(cur) and relayout_active():
+                # one-pass Pallas reverse+roll whose adjoint is the rolled
+                # partition (measured 7.09 vs XLA's 9.42 ms bwd at stage-1
+                # micro 8 — scripts/perf_probe_relayout.py; fwd at par).
+                # The unshifted case stays on XLA: plain reverse beats the
+                # kernel there.
+                x = windows_to_spatial(x, window, (d, h, w), cur)
+            else:
+                x = window_reverse(x, window, (d, h, w))
+                if any(cur):
+                    x = roll3d(x, cur)
             x = x.astype(self.dtype)
 
         x = x[:, :d, :h, :w, :]
