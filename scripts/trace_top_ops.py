@@ -52,12 +52,17 @@ def main():
     print("== line totals (ms) ==")
     for ln, ps in per_line.most_common():
         print(f"{ln:30s} {ps / 1e9:10.3f}")
-    # op-level stats from the busiest op line
-    op_line = max(
-        (ln for ln in per_line if "op" in ln.lower() or "XLA" in ln),
-        key=lambda ln: per_line[ln],
-        default=max(per_line, key=per_line.get),
-    )
+    # op-level stats from the synchronous op timeline. "Async XLA Ops"
+    # carries overlapped DMA (copy-start/slice-start) wall spans that
+    # double-count against compute — prefer the plain "XLA Ops" line.
+    if "XLA Ops" in per_line:
+        op_line = "XLA Ops"
+    else:
+        op_line = max(
+            (ln for ln in per_line if "op" in ln.lower() or "XLA" in ln),
+            key=lambda ln: per_line[ln],
+            default=max(per_line, key=per_line.get),
+        )
     ops = collections.Counter()
     cats = collections.Counter()
     for (ln, nm), ps in per_op.items():

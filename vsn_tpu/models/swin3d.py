@@ -1341,6 +1341,53 @@ class _PatchEmbedMatmul(nn.Module):
         )(x, kernel, bias)
 
 
+class _PatchEmbedZConv(nn.Module):
+    """Patch embed as a 2D conv with the kd z-taps folded into C_in.
+
+    The direct 3D patchify conv (C_in=1) is layout-hostile on TPU: XLA
+    relays the whole micro batch into a batch-minor layout before the conv
+    (14.8 ms for [8,144,168,144,1] in the 2026-08-19 trace) and contracts
+    K=1 per tap (11.1 ms fwd + 10.4 ms dW). Folding the z-taps into input
+    channels via a LEADING-dim split — x[B, D, H, W] -> [B*D/kd, kd, H, W],
+    layout-free, unlike the full patchify reshape that re-laid the scanned
+    batch (see the VSN_PATCH_EMBED=matmul note) — turns it into an NCHW
+    conv2d with C_in=kd whose input is the batch's natural layout.
+
+    Param tree matches nn.Conv(name="patch_embed"): kernel [kd,kh,kw,cin,E]
+    DHWIO + bias [E]; checkpoints are interchangeable.
+    Reference: swin_transformer_3d.py:575-612 (PatchEmbed3D conv)."""
+
+    patch_size: Tuple[int, int, int]
+    embed_dim: int
+    kernel_init: object = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kd, kh, kw = self.patch_size
+        b, d, h, w_sp, cin = x.shape
+        assert cin == 1, "zconv embed requires C_in=1 (use nn.Conv otherwise)"
+        kernel = self.param(
+            "kernel", self.kernel_init, (kd, kh, kw, cin, self.embed_dim),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.embed_dim,),
+            jnp.float32,
+        )
+        dt = self.dtype
+        gd = d // kd
+        lhs = x.reshape(b * gd, kd, h, w_sp)          # leading split: free
+        rhs = kernel[:, :, :, 0, :].transpose(1, 2, 0, 3)  # [kh,kw,kd,E]
+        y = jax.lax.conv_general_dilated(
+            lhs.astype(dt), rhs.astype(dt),
+            window_strides=(kh, kw), padding="VALID",
+            dimension_numbers=("NCHW", "HWIO", "NHWC"),
+        )
+        y = y + bias.astype(dt)
+        return y.reshape(b, gd, h // kh, w_sp // kw, self.embed_dim)
+
+
 class SwinTransformer3D(nn.Module):
     """Swin-3D classifier (reference swin_transformer_3d.py:575-785)."""
 
@@ -1399,7 +1446,17 @@ class SwinTransformer3D(nn.Module):
         # nothing-saveable checkpoint does NOT remove those copies — they
         # are input-layout copies, not saved activations. Step-level A/B:
         # conv 39.9 vol/s vs matmul 36.4 (and OOM with the packed layout).
-        if os.environ.get("VSN_PATCH_EMBED", "conv") != "matmul":
+        embed_mode = os.environ.get("VSN_PATCH_EMBED", "conv")
+        if (embed_mode == "zconv" and x.shape[-1] == 1
+                and x.shape[1] % self.patch_size[0] == 0):
+            x = _PatchEmbedZConv(
+                patch_size=tuple(self.patch_size),
+                embed_dim=self.embed_dim,
+                kernel_init=embed_init,
+                dtype=self.dtype,
+                name="patch_embed",
+            )(x)
+        elif embed_mode != "matmul":
             x = nn.Conv(
                 self.embed_dim, kernel_size=tuple(self.patch_size),
                 strides=tuple(self.patch_size), padding="VALID",
