@@ -46,6 +46,47 @@ def test_wait_for_tpu_gives_up_at_budget():
     assert calls and all(t <= 11 for t in calls)
 
 
+def test_measure_retry_recovers_from_one_runtime_error(monkeypatch, capsys):
+    """A degraded worker raising JaxRuntimeError mid-step (observed
+    2026-08-19 15:53) costs one retry, not the round's bench sample."""
+    import jax
+
+    import bench
+
+    calls = []
+
+    def flaky_measure(on_tpu):
+        calls.append(on_tpu)
+        if len(calls) == 1:
+            raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: TPU")
+        return 52.2
+
+    monkeypatch.setattr(bench, "_measure", flaky_measure)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    bench.main()
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["value"] == 52.2
+    assert len(calls) == 2
+
+
+def test_measure_retry_exhaustion_emits_diagnostic(monkeypatch, capsys):
+    import jax
+
+    import bench
+
+    def dead_measure(on_tpu):
+        raise jax.errors.JaxRuntimeError("INTERNAL: worker crashed")
+
+    monkeypatch.setattr(bench, "_measure", dead_measure)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    bench.main()
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["error"] == "tpu_unavailable"
+    assert line["value"] is None
+
+
 def test_bench_emits_diagnostic_json_on_simulated_outage():
     # PALLAS_AXON_POOL_IPS= makes sitecustomize skip axon registration, and
     # JAX_PLATFORMS="" (not "cpu") keeps bench in expect-TPU mode — so the
