@@ -1446,6 +1446,11 @@ class SwinTransformer3D(nn.Module):
         # nothing-saveable checkpoint does NOT remove those copies — they
         # are input-layout copies, not saved activations. Step-level A/B:
         # conv 39.9 vol/s vs matmul 36.4 (and OOM with the packed layout).
+        # The zconv form (VSN_PATCH_EMBED=zconv, _PatchEmbedZConv) wins big
+        # in isolation (10.15->2.20 ms fwd) via a layout-free leading-dim
+        # z-split, but measured a step-level wash (52.17 vs 52.2 vol/s,
+        # 2026-08-19): the embed is off the critical path once the fused
+        # window kernels dominate. Default stays conv.
         embed_mode = os.environ.get("VSN_PATCH_EMBED", "conv")
         if (embed_mode == "zconv" and x.shape[-1] == 1
                 and x.shape[1] % self.patch_size[0] == 0):
