@@ -18,6 +18,7 @@ from vsn_tpu.models.swin3d import (
 from vsn_tpu.ops.window_relayout import (
     spatial_to_windows,
     windows_to_spatial,
+    windows_to_windows,
 )
 
 DIMS = (12, 14, 12)
@@ -140,6 +141,54 @@ def test_basiclayer_winres_relayout_matches(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(leaf), np.asarray(flat0[path]),
             rtol=1e-6, atol=1e-6, err_msg=str(path))
+
+
+@pytest.mark.parametrize("tshift", [
+    (3, 3, 3),          # unshifted -> shifted junction
+    (9, 11, 9),         # shifted -> unshifted junction (dim - s)
+    (6, 7, 6),          # whole-window roll (s == 0 branch)
+    (7, 10, 1),
+])
+def test_w2w_matches_glue_chain(tshift, monkeypatch):
+    monkeypatch.setenv("VSN_PALLAS_RELAYOUT", "1")
+    x = _x(seed=6)
+    wins = window_partition(x, WIN)
+    got = windows_to_windows(wins, WIN, DIMS,
+                             tuple(-t for t in tshift))
+    want = window_glue(wins, WIN, DIMS, tshift)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_w2w_grad_and_roundtrip(monkeypatch):
+    monkeypatch.setenv("VSN_PALLAS_RELAYOUT", "1")
+    x = _x(c=8, seed=7)
+    wins = window_partition(x, WIN)
+    roll = tuple(-t for t in (3, 3, 3))
+
+    def f(fn):
+        return lambda w: jnp.sum(jnp.sin(fn(w) * 0.1))
+
+    g = jax.grad(f(lambda w: windows_to_windows(w, WIN, DIMS, roll)))(wins)
+    gr = jax.grad(f(lambda w: window_glue(w, WIN, DIMS, (3, 3, 3))))(wins)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                               rtol=1e-6, atol=1e-6)
+    back = windows_to_windows(
+        windows_to_windows(wins, WIN, DIMS, roll), WIN, DIMS,
+        tuple(-r for r in roll))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(wins))
+
+
+def test_window_glue_kernel_dispatch(monkeypatch):
+    """window_glue with VSN_PALLAS_GLUE=1 matches the chain form."""
+    monkeypatch.setenv("VSN_PALLAS_RELAYOUT", "1")
+    x = _x(seed=8)
+    wins = window_partition(x, WIN)
+    for t in [(3, 3, 3), (9, 11, 9)]:
+        monkeypatch.delenv("VSN_PALLAS_GLUE", raising=False)
+        want = window_glue(wins, WIN, DIMS, t)
+        monkeypatch.setenv("VSN_PALLAS_GLUE", "1")
+        got = window_glue(wins, WIN, DIMS, t)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_fallback_matches(monkeypatch):

@@ -138,7 +138,17 @@ def window_glue(wins: jax.Array, window: Tuple[int, int, int],
     Default formulation is the 3-op composition: with the ops ADJACENT in
     the graph (no opaque kernel between them) XLA fuses them, strictly
     cheaper than the old arrangement. VSN_GLUE=corner switches to the
-    corner-slice tree (scripts/perf_probe_glue.py A/Bs both on hardware)."""
+    corner-slice tree (scripts/perf_probe_glue.py A/Bs both on hardware);
+    VSN_PALLAS_GLUE=1 dispatches to the one-pass Pallas windows->windows
+    kernel (ops/window_relayout.windows_to_windows)."""
+    from vsn_tpu.ops.window_relayout import (
+        glue_kernel_active,
+        windows_to_windows,
+    )
+
+    if glue_kernel_active() and any(t % d for t, d in zip(tshift, dims)):
+        return windows_to_windows(
+            wins, window, dims, tuple(-t for t in tshift))
     if os.environ.get("VSN_GLUE", "chain") == "chain":
         x = window_reverse(wins, window, dims)
         x = roll3d(x, tuple(-t for t in tshift))

@@ -61,6 +61,17 @@ def relayout_active() -> bool:
     return _wa._on_tpu()
 
 
+def glue_kernel_active() -> bool:
+    """Gate for the fused windows->windows junction kernel in window_glue.
+
+    Default OFF pending the on-chip step-level A/B (VSN_PALLAS_GLUE=1
+    enables; the chain form in models/swin3d.window_glue is the oracle)."""
+    env = os.environ.get("VSN_PALLAS_GLUE")
+    if env is not None:
+        return env.strip() not in ("0", "false", "off")
+    return False
+
+
 def _axis_pieces(t: int, w: int, dim: int):
     """Static per-axis piece table for a roll of t (normalized mod dim).
 
@@ -125,6 +136,30 @@ def _w2s_bwd(window, dims, roll, _, g):
 
 spatial_to_windows.defvjp(_s2w_fwd, _s2w_bwd)
 windows_to_spatial.defvjp(_w2s_fwd, _w2s_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def windows_to_windows(wins: jax.Array, window: Tuple[int, int, int],
+                       dims: Tuple[int, int, int],
+                       roll: Tuple[int, int, int]) -> jax.Array:
+    """[B*nW, N, C] -> [B*nW, N, C] junction glue in ONE pass:
+    ``window_partition(roll3d(window_reverse(wins), roll))``, i.e.
+    ``window_glue(wins, window, dims, -roll)`` (models/swin3d.py) without
+    materializing the spatial intermediate. Pure permutation; the adjoint
+    is the same kernel with the roll negated."""
+    return _w2w_impl(wins, window, dims, roll)
+
+
+def _w2w_fwd(wins, window, dims, roll):
+    return _w2w_impl(wins, window, dims, roll), None
+
+
+def _w2w_bwd(window, dims, roll, _, g):
+    inv = tuple(-r for r in roll)
+    return (_w2w_impl(g, window, dims, inv),)
+
+
+windows_to_windows.defvjp(_w2w_fwd, _w2w_bwd)
 
 
 def _s2w_impl(x, window, roll):
@@ -197,6 +232,84 @@ def _s2w_impl(x, window, roll):
         interpret=not _wa._on_tpu(),
     )(*([x] * len(pieces)))
     # leading-dim merge: layout-free reshape to the [B*nW, N, C] contract
+    return out.reshape(b * gzn * gyn * gxn, n, c)
+
+
+def _w2w_impl(wins, window, dims, roll):
+    """Fused junction: source and destination both in window layout.
+
+    Same piece table as _s2w (rolled window-layout output), but the source
+    spatial window-row is fetched from the WINDOW layout (a window's grid
+    index is unchanged by reverse, so the (z, y) piece deltas pick the run
+    row and the x pieces pick the window within the run — as in _w2s)."""
+    d, h, w = (int(v) for v in dims)
+    wd, wh, ww = window
+    c = wins.shape[-1]
+    roll = _norm_roll(roll, (d, h, w))
+    gzn, gyn, gxn = d // wd, h // wh, w // ww
+    n = wd * wh * ww
+    b = wins.shape[0] // (gzn * gyn * gxn)
+    if not relayout_active():
+        from vsn_tpu.models.swin3d import (
+            roll3d,
+            window_partition,
+            window_reverse,
+        )
+
+        return window_partition(
+            roll3d(window_reverse(wins, window, dims), roll), window)
+
+    zp = _axis_pieces(roll[0], wd, d)
+    yp = _axis_pieces(roll[1], wh, h)
+    xp = _axis_pieces(roll[2], ww, w)
+    pieces = [(z, y) for z in zp for y in yp]
+    bb = _batch_block(b, (len(pieces) + 1) * gxn * n * c
+                      * wins.dtype.itemsize)
+    wins4 = wins.reshape(b, gzn * gyn * gxn, n, c)  # leading split: free
+
+    def mk_spec(zdw, ydw):
+        def imap(bi, gz, gy):
+            mz = jax.lax.rem(gz + zdw + gzn, gzn)
+            my = jax.lax.rem(gy + ydw + gyn, gyn)
+            return (bi, mz * gyn + my, 0, 0)
+
+        return pl.BlockSpec((bb, gxn, n, c), imap,
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [mk_spec(z[2], y[2]) for z, y in pieces]
+
+    def kernel(*refs):
+        fetches = refs[:len(pieces)]
+        out_ref = refs[len(pieces)]
+        for run, ((zlo, zn_, _, zsrc), (ylo, yn_, _, ysrc)) in zip(
+                fetches, pieces):
+            for ld in range(zn_):
+                for lh in range(yn_):
+                    r0d = ((zlo + ld) * wh + (ylo + lh)) * ww
+                    r0s = ((zsrc + ld) * wh + (ysrc + lh)) * ww
+                    for gx in range(gxn):
+                        for dst_lo, ln_, dxw, src_lo in xp:
+                            gxs = (gx + dxw) % gxn
+                            out_ref[:, gx, r0d + dst_lo:
+                                    r0d + dst_lo + ln_, :] = (
+                                run[:, gxs, r0s + src_lo:
+                                    r0s + src_lo + ln_, :]
+                            )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // bb, gzn, gyn),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (bb, gxn, n, c),
+            lambda bi, gz, gy: (bi, gz * gyn + gy, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, gzn * gyn * gxn, n, c),
+                                       wins.dtype),
+        compiler_params=_CPARAMS,
+        interpret=not _wa._on_tpu(),
+    )(*([wins4] * len(pieces)))
     return out.reshape(b * gzn * gyn * gxn, n, c)
 
 
