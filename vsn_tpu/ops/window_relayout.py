@@ -64,8 +64,14 @@ def relayout_active() -> bool:
 def glue_kernel_active() -> bool:
     """Gate for the fused windows->windows junction kernel in window_glue.
 
-    Default OFF pending the on-chip step-level A/B (VSN_PALLAS_GLUE=1
-    enables; the chain form in models/swin3d.window_glue is the oracle)."""
+    Default OFF. Isolated on-chip A/B (2026-08-19, scripts/perf_probe_w2w,
+    bit-parity): fwd wins every junction type (stage1 4.64->4.23 /
+    5.12->4.31 ms, stage2 4.98->3.03 / 3.11->2.89) but grads are a wash
+    overall and the stage2/shift grad REGRESSES 5.90->9.74 ms (the
+    adjoint's negated roll lands on a piece table XLA's chain fuses
+    better). Net isolated ~0; left off pending a step-level A/B
+    (VSN_PALLAS_GLUE=1 enables; the chain form in
+    models/swin3d.window_glue is the oracle)."""
     env = os.environ.get("VSN_PALLAS_GLUE")
     if env is not None:
         return env.strip() not in ("0", "false", "off")
