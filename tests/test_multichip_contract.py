@@ -34,6 +34,27 @@ def test_dryrun_multichip_inline(monkeypatch):
     g.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_reexecs_from_exact_driver_env():
+    """MULTICHIP_r01..r03 regression: the driver exports JAX_PLATFORMS=cpu +
+    XLA_FLAGS but leaves PALLAS_AXON_POOL_IPS set, so the sitecustomize
+    still registers the axon TPU backend. _cpu_env_ready must NOT trust the
+    env vars then — it must re-exec with the pool IP cleared."""
+    env = dict(os.environ)
+    env.pop("_VSN_DRYRUN_CHILD", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PALLAS_AXON_POOL_IPS"] = "127.0.0.1"
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g;"
+         "assert not g._cpu_env_ready(4), 'env check fooled by pool IP';"
+         "g.dryrun_multichip(4)"],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(4): OK" in proc.stdout
+
+
 def test_dryrun_multichip_reexecs_from_driver_like_env():
     env = {
         k: v for k, v in os.environ.items()
