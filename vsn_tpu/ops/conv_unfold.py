@@ -37,12 +37,13 @@ Reference stems this accelerates: /root/reference/models/resnet_3d.py:129-137
 
 from __future__ import annotations
 
-import os
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+from vsn_tpu.utils.flags import env_flag
 
 
 def should_unfold(strides: Sequence[int], kernel_shape: Sequence[int],
@@ -175,9 +176,10 @@ def tap_unfolded_conv(x: jax.Array, kernel: jax.Array,
 
 def _unfold_active(strides, kernel_shape, c_in) -> bool:
     """Opt-in only: the XLA tap-unfold compile-OOMs at production geometry
-    (module docstring) — it exists for small-geometry A/Bs and tests."""
-    env = os.environ.get("VSN_UNFOLD_STEM")
-    return (env is not None and bool(int(env))
+    (module docstring) — it exists for small-geometry A/Bs and tests.
+    When set, it takes priority over the default-on im2col path so
+    VSN_UNFOLD_STEM=1 alone selects the legacy form."""
+    return (env_flag("VSN_UNFOLD_STEM") is True
             and should_unfold(strides, kernel_shape, c_in))
 
 
@@ -186,9 +188,9 @@ def _im2col_active(strides, kernel_shape, padding, c_in) -> bool:
 
     if not should_im2col(strides, kernel_shape, padding, c_in):
         return False
-    env = os.environ.get("VSN_STEM_IM2COL")
-    if env is not None:
-        return bool(int(env))
+    v = env_flag("VSN_STEM_IM2COL")
+    if v is not None:
+        return v
     return jax.devices()[0].platform == "tpu"
 
 
@@ -254,9 +256,7 @@ class DepthwiseConv(nn.Module):
             "kernel", self.kernel_init, (*self.kernel_size, 1, c),
             jnp.float32,
         )
-        env = os.environ.get("VSN_DW_SHIFT")
-        on = bool(int(env)) if env is not None else False
-        if on:
+        if env_flag("VSN_DW_SHIFT") is True:
             return depthwise_conv3d_shift(x, kernel, dtype=self.dtype)
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype),
@@ -273,8 +273,9 @@ class UnfoldedConv(nn.Module):
     VSN_STEM_IM2COL=0/1). Declares the identical param ('kernel', DHWIO)
     so checkpoints and init behavior match nn.Conv exactly; falls back to
     lax conv otherwise. The legacy XLA tap-unfold form stays available
-    via VSN_UNFOLD_STEM=1 for small-geometry A/Bs only (it compile-OOMs
-    at production size — module docstring)."""
+    via VSN_UNFOLD_STEM=1 ALONE for small-geometry A/Bs only (checked
+    before the im2col gate; it compile-OOMs at production size — module
+    docstring)."""
 
     features: int
     kernel_size: Tuple[int, int, int]
@@ -290,15 +291,15 @@ class UnfoldedConv(nn.Module):
             "kernel", self.kernel_init,
             (*self.kernel_size, c_in, self.features), jnp.float32,
         )
+        if _unfold_active(self.strides, self.kernel_size, c_in):
+            return tap_unfolded_conv(
+                x, kernel, self.strides, self.padding, dtype=self.dtype
+            )
         if _im2col_active(self.strides, self.kernel_size, self.padding,
                           c_in):
             from vsn_tpu.ops.stem_im2col import stem_conv_im2col
 
             return stem_conv_im2col(
-                x, kernel, self.strides, self.padding, dtype=self.dtype
-            )
-        if _unfold_active(self.strides, self.kernel_size, c_in):
-            return tap_unfolded_conv(
                 x, kernel, self.strides, self.padding, dtype=self.dtype
             )
         return jax.lax.conv_general_dilated(

@@ -56,7 +56,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vsn_tpu.ops.window_attention import _on_tpu
+# late-bound module access so tests' _ForceTpu patch of wa._on_tpu
+# reaches this module too (a from-import would freeze the binding)
+import vsn_tpu.ops.window_attention as _wa
 
 # The im2col scratch [Ho, taps<=343, Wo] is ~8 MB at ResNet geometry plus
 # slab/rotate buffers; v5e has 128 MB VMEM.
@@ -103,6 +105,20 @@ def _geometry(shape, kernel_shape, strides, padding):
       the scratch's row order (groups in (dy, dx, pz) order, z ascending
       within a group).
     """
+    # Loud preconditions: should_im2col gates routed callers, but direct
+    # calls (tests, probes) must not silently index past the 8-sublane
+    # parity scratch or mis-split parities.
+    assert all(s in (1, 2) for s in strides), strides
+    assert all(k % 2 == 1 and p == k // 2
+               for k, p in zip(kernel_shape, padding)), (
+        f"odd kernel with SAME padding required, got {kernel_shape} "
+        f"pad {padding}")
+    _zin = ((kernel_shape[0] + 1) // 2 if strides[0] == 2
+            else kernel_shape[0])
+    assert _zin <= _ALIGN, (
+        f"z-extent {_zin} exceeds the {_ALIGN}-sublane parity scratch "
+        f"(kernel {kernel_shape}, strides {strides})")
+
     pads, halves, outs = [], [], []
     for ax in range(3):
         size, k, s, p = shape[ax], kernel_shape[ax], strides[ax], padding[ax]
@@ -268,7 +284,7 @@ def _fwd_pallas(p_arr, w2, geometry, dt):
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=_CPARAMS,
-        interpret=not _on_tpu(),
+        interpret=not _wa._on_tpu(),
     )(p_arr, w2)
 
 
@@ -327,7 +343,7 @@ def _dw_pallas(p_arr, g, geometry, taps):
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=_CPARAMS,
-        interpret=not _on_tpu(),
+        interpret=not _wa._on_tpu(),
     )(p_arr, g)
 
 

@@ -39,7 +39,6 @@ torch.roll shifted-window mechanism,
 from __future__ import annotations
 
 import functools
-import os
 from typing import Sequence, Tuple
 
 import jax
@@ -50,15 +49,14 @@ from jax.experimental.pallas import tpu as pltpu
 # late-bound module access so tests' _ForceTpu patch of wa._on_tpu reaches
 # this module too (a from-import would freeze the original function)
 import vsn_tpu.ops.window_attention as _wa
+from vsn_tpu.utils.flags import env_flag
 
 _CPARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def relayout_active() -> bool:
-    env = os.environ.get("VSN_PALLAS_RELAYOUT")
-    if env is not None:
-        return env.strip() not in ("0", "false", "off")
-    return _wa._on_tpu()
+    v = env_flag("VSN_PALLAS_RELAYOUT")
+    return _wa._on_tpu() if v is None else v
 
 
 def glue_kernel_active() -> bool:
@@ -72,10 +70,7 @@ def glue_kernel_active() -> bool:
     better). Net isolated ~0; left off pending a step-level A/B
     (VSN_PALLAS_GLUE=1 enables; the chain form in
     models/swin3d.window_glue is the oracle)."""
-    env = os.environ.get("VSN_PALLAS_GLUE")
-    if env is not None:
-        return env.strip() not in ("0", "false", "off")
-    return False
+    return env_flag("VSN_PALLAS_GLUE") or False
 
 
 def _axis_pieces(t: int, w: int, dim: int):
