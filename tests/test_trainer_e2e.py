@@ -56,7 +56,9 @@ def tiny_cfg(**kw):
 
 def test_train_fold_end_to_end(synth, tmp_path):
     root, csvs = synth
-    cfg = tiny_cfg()
+    # EVAL_BATCH_SIZE decoupled from the train micro size (VERDICT r3 #5):
+    # validation batches at 16 rows while training runs micro 8.
+    cfg = tiny_cfg(EVAL_BATCH_SIZE=16)
     summary = train_fold(
         cfg, csv_dir=str(csvs), save_dir=tmp_path / "runs",
         cache_dir=tmp_path / "cache", run_id="testrun1",
@@ -83,6 +85,10 @@ def test_train_fold_end_to_end(synth, tmp_path):
     assert rows[-1]["step"] == 24
     assert "val_bacc" in rows[-1]
     assert lines[-1].get("kind") == "summary" and "step_time" in lines[-1]
+    # default-on saturation guard (VAL_ATTN_WATCH): every validation row
+    # carries a finite attn_logit_max even with WATCH_GRADIENTS off, so the
+    # fused-softmax clamp-80 deviation is observable in any default run
+    assert all(np.isfinite(r["val_attn_logit_max"]) for r in rows)
 
 
 def test_resume_from_checkpoint(synth, tmp_path):

@@ -82,7 +82,9 @@ class Evaluator:
         self.cfg = cfg
         self.mesh = mesh or meshlib.make_mesh()
         self.batch_size = meshlib.pad_batch_to_multiple(
-            int(batch_size or cfg.BATCH_SIZE), self.mesh.size
+            int(batch_size or cfg.get("EVAL_BATCH_SIZE", 0)
+                or cfg.BATCH_SIZE),
+            self.mesh.size,
         )
         transform = build_eval_transform(cfg)
         self.use_tta = use_tta
@@ -126,6 +128,10 @@ class Evaluator:
         """
         pipeline = EvalPipeline(dataset, self.batch_size)
         probs_all, gt_all = [], []
+        # One-batch-deep software pipeline (same as train.trainer.Validator):
+        # dispatch batch i, then drain batch i-1's device->host transfer
+        # while the device computes i.
+        pending = None
         for i, (images, labels, valid, idx) in enumerate(
             pipeline.iter_with_indices(load_images=resident is None)
         ):
@@ -135,20 +141,24 @@ class Evaluator:
                     jnp.asarray(idx, jnp.int32), self.mesh
                 )
                 if self.use_tta:
-                    probs = self._run_idx(variables, idx, resident, step_rng)
+                    dev = self._run_idx(variables, idx, resident, step_rng)
                 else:
-                    probs = self._run_idx(variables, idx, resident)
+                    dev = self._run_idx(variables, idx, resident)
             else:
                 images = meshlib.shard_eval_batch(
                     jnp.asarray(images), self.mesh
                 )
                 if self.use_tta:
-                    probs = self._run(variables, images, step_rng)
+                    dev = self._run(variables, images, step_rng)
                 else:
-                    probs = self._run(variables, images)
-            probs = np.asarray(probs)
-            probs_all.append(probs[valid])
-            gt_all.append(labels[valid])
+                    dev = self._run(variables, images)
+            if pending is not None:
+                probs_all.append(np.asarray(pending[0])[pending[1]])
+                gt_all.append(pending[2])
+            pending = (dev, valid, labels[valid])
+        if pending is not None:
+            probs_all.append(np.asarray(pending[0])[pending[1]])
+            gt_all.append(pending[2])
         return np.concatenate(probs_all), np.concatenate(gt_all)
 
 
