@@ -62,15 +62,18 @@ def relayout_active() -> bool:
 def glue_kernel_active() -> bool:
     """Gate for the fused windows->windows junction kernel in window_glue.
 
-    Default OFF. Isolated on-chip A/B (2026-08-19, scripts/perf_probe_w2w,
-    bit-parity): fwd wins every junction type (stage1 4.64->4.23 /
-    5.12->4.31 ms, stage2 4.98->3.03 / 3.11->2.89) but grads are a wash
-    overall and the stage2/shift grad REGRESSES 5.90->9.74 ms (the
-    adjoint's negated roll lands on a piece table XLA's chain fuses
-    better). Net isolated ~0; left off pending a step-level A/B
-    (VSN_PALLAS_GLUE=1 enables; the chain form in
-    models/swin3d.window_glue is the oracle)."""
-    return env_flag("VSN_PALLAS_GLUE") or False
+    Default ON on TPU: the round-4 STEP-LEVEL A/B (2026-08-19 queue4,
+    /tmp/q4_glue_ab.log) measured 54.275 vol/s with the kernel vs 52.196
+    without (+4.0%) on the full Swin-T 5c train step. The earlier isolated
+    A/B (scripts/perf_probe_w2w, bit-parity) read as a wash — fwd won
+    every junction type (stage1 4.64->4.23 / 5.12->4.31 ms, stage2
+    4.98->3.03 / 3.11->2.89) but the stage2/shift adjoint regressed
+    5.90->9.74 ms; inside the compiled step the fwd wins and XLA's
+    scheduling of the adjoint recover the difference. VSN_PALLAS_GLUE=0
+    restores the chain form (models/swin3d.window_glue, the parity
+    oracle)."""
+    v = env_flag("VSN_PALLAS_GLUE")
+    return _wa._on_tpu() if v is None else v
 
 
 def _axis_pieces(t: int, w: int, dim: int):
