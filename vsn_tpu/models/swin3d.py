@@ -1237,7 +1237,19 @@ class BasicLayer3D(nn.Module):
         if self.use_checkpoint:
             block_cls = nn.remat(SwinBlock3D, static_argnums=(3,))
         if use_winres:
-            x = window_partition(x, window)
+            from vsn_tpu.ops.window_relayout import (
+                s2w_entry_active,
+                spatial_to_windows,
+            )
+
+            if s2w_entry_active():
+                # Pallas one-pass partition at stage ENTRY (roll = 0).
+                # Isolated micro-32 partition measured 15.91 -> 12.13 ms
+                # (perf_probe_relayout), but that was the rolled case;
+                # default off pending a step-level A/B (VSN_PALLAS_S2W=1).
+                x = spatial_to_windows(x, window, (0, 0, 0))
+            else:
+                x = window_partition(x, window)
         cur = tuple(0 for _ in window)
         for i in range(self.depth):
             blk_shift = tuple(0 for _ in window) if i % 2 == 0 else shift

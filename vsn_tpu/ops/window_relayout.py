@@ -76,6 +76,16 @@ def glue_kernel_active() -> bool:
     return _wa._on_tpu() if v is None else v
 
 
+def s2w_entry_active() -> bool:
+    """Gate for the Pallas partition at stage ENTRY (unrolled,
+    models/swin3d.BasicLayer3D). Default OFF pending a step-level A/B:
+    the isolated win (micro-32 partition 15.91 -> 12.13 ms) was measured
+    on the ROLLED form; the entry partition has roll = 0 where XLA's
+    reshape+transpose may already be layout-optimal. VSN_PALLAS_S2W=1
+    enables (requires relayout_active-compatible TPU or interpret)."""
+    return env_flag("VSN_PALLAS_S2W") or False
+
+
 def _axis_pieces(t: int, w: int, dim: int):
     """Static per-axis piece table for a roll of t (normalized mod dim).
 
