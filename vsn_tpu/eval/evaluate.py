@@ -126,7 +126,11 @@ class Evaluator:
         evaluation (best-N checkpoints, TTA views) never re-crosses the
         host->device boundary.
         """
-        pipeline = EvalPipeline(dataset, self.batch_size)
+        # Clamp to the cohort so small datasets don't pay for pad rows.
+        bs = meshlib.pad_batch_to_multiple(
+            max(1, min(self.batch_size, len(dataset))), self.mesh.size
+        )
+        pipeline = EvalPipeline(dataset, bs)
         probs_all, gt_all = [], []
         # One-batch-deep software pipeline (same as train.trainer.Validator):
         # dispatch batch i, then drain batch i-1's device->host transfer

@@ -1244,9 +1244,9 @@ class BasicLayer3D(nn.Module):
 
             if s2w_entry_active():
                 # Pallas one-pass partition at stage ENTRY (roll = 0).
-                # Isolated micro-32 partition measured 15.91 -> 12.13 ms
-                # (perf_probe_relayout), but that was the rolled case;
-                # default off pending a step-level A/B (VSN_PALLAS_S2W=1).
+                # Step-level A/B (queue5, 2026-08-19): 57.40 vs 54.28
+                # vol/s (+5.8%) — default ON on TPU (VSN_PALLAS_S2W=0
+                # restores the reshape+transpose oracle below).
                 x = spatial_to_windows(x, window, (0, 0, 0))
             else:
                 x = window_partition(x, window)

@@ -279,11 +279,20 @@ def _heads_attention_bwd(qkv, probs, dao, bias_ref, scale, n_heads, cdt,
     list of per-head f32 [N, N] partials, or Nones on first use) and
     returns the slot's [N, 3C] dqkv.
 
-    Works in the forward's (u, r) basis so p = u * r is never materialized:
-    with w = u (*) dp and s1 = rowsum(w),
-      dv = p^T @ do          = u^T @ (r (*) do)       (row scale on [N, d])
-      ds = p (*) (dp - rowsum(p (*) dp)) = r (*) w - (r^2 s1) (*) u
-    — one fewer full [N, N] pass per head than the p-basis form."""
+    Rebuilds p = u * r FIRST and works in the bounded p-basis:
+      dv = p^T @ do
+      ds = p (*) dp - rowsum(p (*) dp) (*) p
+    Same [N, N] elementwise-pass count as the (u, r)-basis form
+    (p = u*r, p*dp, fused multiply-subtract vs u*dp, r*w, (r^2 s1)*u),
+    but every intermediate is bounded: the original (u, r) form broke in
+    the SATURATED regime this project studies — r^2 underflows f32 once a
+    row's sum(exp) exceeds ~1e19 (max logit ~44), silently dropping the
+    softmax projection term (wrong grads -> logit runaway), and u (*) dp
+    overflows to inf once logits clamp at 80 with O(10) cotangents
+    (inf * 0 -> NaN). Found by the round-4 convergence run
+    (artifacts/convergence_swin5c.jsonl, divergence onset at
+    attn_logit_max ~44); regression-tested by
+    tests/test_swin_block_kernels.py::test_fused_attn_grads_at_saturation."""
     c = dao.shape[-1]
     d = c // n_heads
     parts_q, parts_k, parts_v = [], [], []
@@ -292,13 +301,14 @@ def _heads_attention_bwd(qkv, probs, dao, bias_ref, scale, n_heads, cdt,
         k = qkv[:, c + h * d:c + (h + 1) * d].astype(cdt)
         v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d].astype(cdt)
         u, r = probs[h]
+        p = u * r                                             # [N, N] <= 1
         doh = dao[:, h * d:(h + 1) * d]
 
-        dv = _mm(u.astype(cdt), (r * doh).astype(cdt), 0, 0)  # [N, d]
+        dv = _mm(p.astype(cdt), doh.astype(cdt), 0, 0)        # [N, d]
         dp = _mm(doh.astype(cdt), v, 1, 1)                    # [N, N]
-        w = u * dp
+        w = p * dp
         s1 = jnp.sum(w, axis=-1, keepdims=True)
-        ds = r * w - (r * r * s1) * u
+        ds = w - s1 * p
         dsb = ds.astype(cdt)
         dq = _mm(dsb, k, 1, 0) * scale
         dk = _mm(dsb, q, 0, 0) * scale

@@ -78,12 +78,17 @@ def glue_kernel_active() -> bool:
 
 def s2w_entry_active() -> bool:
     """Gate for the Pallas partition at stage ENTRY (unrolled,
-    models/swin3d.BasicLayer3D). Default OFF pending a step-level A/B:
-    the isolated win (micro-32 partition 15.91 -> 12.13 ms) was measured
-    on the ROLLED form; the entry partition has roll = 0 where XLA's
-    reshape+transpose may already be layout-optimal. VSN_PALLAS_S2W=1
-    enables (requires relayout_active-compatible TPU or interpret)."""
-    return env_flag("VSN_PALLAS_S2W") or False
+    models/swin3d.BasicLayer3D).
+
+    Default ON on TPU: the round-4 STEP-LEVEL A/B (2026-08-19 queue5,
+    /tmp/q5_s2w_ab.log) measured 57.401 vol/s with the entry partition vs
+    54.275 without (+5.8%) on the full Swin-T 5c train step — the roll=0
+    entry junction was NOT layout-optimal under XLA after all; the
+    Pallas one-pass partition (plus its one-pass adjoint) wins even
+    unrolled. VSN_PALLAS_S2W=0 restores the reshape+transpose
+    window_partition (the parity oracle)."""
+    v = env_flag("VSN_PALLAS_S2W")
+    return _wa._on_tpu() if v is None else v
 
 
 def _axis_pieces(t: int, w: int, dim: int):

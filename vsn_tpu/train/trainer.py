@@ -78,6 +78,9 @@ class Validator:
 
         self.cfg = cfg
         eval_batch = int(cfg.get("EVAL_BATCH_SIZE", 0) or cfg.BATCH_SIZE)
+        # Clamp to the cohort so tiny validation sets don't pay for pad
+        # rows (the final batch is zero-padded to static shape anyway).
+        eval_batch = max(1, min(eval_batch, len(dataset)))
         self.pipeline = EvalPipeline(
             dataset, meshlib.pad_batch_to_multiple(eval_batch, mesh.size),
             rank=dist.get_rank(), world_size=dist.get_world_size(),
