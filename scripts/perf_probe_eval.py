@@ -72,6 +72,13 @@ def main():
     sweeps = ([(False, b) for b in (4, 8, 16, 32)] + [(True, 4)]
               if "--small" in sys.argv else
               [(False, b) for b in (8, 32, 64, 128)] + [(True, 8)])
+    # Override, e.g. VSN_EVAL_SWEEP="tta:16,tta:32,plain:64".
+    env_sweep = os.environ.get("VSN_EVAL_SWEEP")
+    if env_sweep:
+        sweeps = [
+            (kind.strip() == "tta", int(bs))
+            for kind, bs in (s.split(":") for s in env_sweep.split(","))
+        ]
     for use_tta, bs in sweeps:
         ev = Evaluator(cfg, model, use_tta=use_tta, batch_size=bs)
         tag = ("tta" if use_tta else "plain") + f"-b{bs}"
