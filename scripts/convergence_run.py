@@ -1,14 +1,25 @@
 """On-chip convergence/stability run: flagship Swin-T 5c, full stack.
 
 VERDICT r3 missing-item #2: no artifact showed the fused-kernel stack
-(softmax clamp 80, bf16 compute, packed windows — DEVIATIONS #1-3)
-actually TRAINING stably beyond a handful of steps. This runs the real
-production train step (SAM + EMA + MixUp + ShakeDrop + label smoothing,
-micro 32 / accum 4 — the bench.py north-star config) for N optimizer
-steps on class-separable synthetic volumes resident in HBM, and logs per
-step: loss, grad_norm, and attn_logit_max from the unfused probe twin
-(WATCH_GRADIENTS path) — the margin against the fused kernels' softmax
-clamp at 80.
+(bf16 compute, packed windows, fused VJPs — DEVIATIONS #1-3) actually
+TRAINING stably beyond a handful of steps. This runs the real production
+train step (SAM + EMA + MixUp + ShakeDrop + label smoothing, micro 32 /
+accum 4 — the bench.py north-star config) for N optimizer steps on
+class-separable synthetic volumes resident in HBM, and logs per step:
+loss, grad_norm, and attn_logit_max from the unfused probe twin
+(WATCH_GRADIENTS path).
+
+The run is PAIRED (VSN_CONV_STABLE) to reproduce the reference project's
+central claim on TPU silicon:
+  * baseline (ENABLE_STABLE off, matching reference
+    configs/swin-5c-no_seed-baseline.yaml): the instability recipe drives
+    attention-logit growth — the round-4 artifact peaked at 277.8 within
+    400 steps while staying finite end to end (safe-softmax kernels are
+    exact at any scale; the legacy clamp-80 trajectory is kept at
+    artifacts/convergence_swin5c_saturated_clamp.jsonl).
+  * VSN_CONV_STABLE=1 (ENABLE_STABLE, reference utils/stable_init.py):
+    the DeepScaleLM transforms must keep the same recipe's logits bounded
+    (asserted < 80) with the loss still learning.
 
 Matches the regime of reference train/train_transformer.py:937-1504
 (2,500-step stability recipe) at a committed-artifact scale.
@@ -50,10 +61,17 @@ from vsn_tpu.train.step import (
 
 N_STEPS = int(os.environ.get("VSN_CONV_STEPS", 400))
 N_VOLS = int(os.environ.get("VSN_CONV_VOLS", 256))
+# VSN_CONV_STABLE=1: the paired run with the reference's DeepScaleLM stable
+# transforms ON (ENABLE_STABLE, reference utils/stable_init.py) — the
+# stabilizer the project proposes for exactly the logit growth the baseline
+# recipe exhibits. Its trajectory must keep attn_logit_max bounded.
+STABLE = os.environ.get("VSN_CONV_STABLE", "") not in ("", "0")
 OUT = os.environ.get(
     "VSN_CONV_OUT",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 "artifacts", "convergence_swin5c.jsonl"),
+                 "artifacts",
+                 "convergence_swin5c_stable.jsonl" if STABLE
+                 else "convergence_swin5c.jsonl"),
 )
 
 
@@ -72,6 +90,8 @@ def main():
         WATCH_GRADIENTS=True,          # unfused probe -> attn_logit_max
         VALIDATION_FREQUENCY=1,        # probe EVERY step
     )
+    if STABLE:
+        overrides.update(ENABLE_STABLE=True)
     if small:
         overrides.update(IMG_SIZE=[32, 32, 32], BATCH_SIZE=2,
                          EFFECTIVE_BATCH_SIZE=16, EMBED_DIM=32,
@@ -152,10 +172,14 @@ def main():
     losses, gnorms, attn_maxes = [], [], []
     t_start = time.perf_counter()
     with open(OUT, "w") as f:
+        from vsn_tpu.ops.swin_block_kernels import softmax_rowmax_active
+
+        rowmax = softmax_rowmax_active()
         f.write(json.dumps({
             "kind": "header", "config": "swin-T 5c full stack",
             "micro": micro, "accum": grad_accum, "n_steps": n_steps,
-            "n_vols": n_vols, "clamp": 80.0,
+            "n_vols": n_vols, "enable_stable": STABLE,
+            "softmax": "rowmax-exact" if rowmax else "clamp80",
             "img_size": list(cfg.input_size),
         }) + "\n")
         for i in range(n_steps):
@@ -184,16 +208,16 @@ def main():
 
         # --- summary + assertions ---------------------------------------
         third = max(1, len(losses) // 3)
-        first_third = float(np.mean(losses[:third]))
+        plateau = max(1, min(25, len(losses) // 8))
+        init_plateau = float(np.mean(losses[:plateau]))
         last_third = float(np.mean(losses[-third:]))
         summary = {
             "kind": "summary",
-            "loss_first_third_mean": round(first_third, 4),
+            "loss_init_plateau_mean": round(init_plateau, 4),
             "loss_last_third_mean": round(last_third, 4),
             "loss_final": round(losses[-1], 4),
             "grad_norm_max": round(float(np.max(gnorms)), 4),
             "attn_logit_max_peak": round(float(np.max(attn_maxes)), 3),
-            "clamp_margin": round(80.0 - float(np.max(attn_maxes)), 3),
             "skipped_steps": int(state.skipped),
             "all_finite": bool(np.isfinite(losses).all()
                                and np.isfinite(gnorms).all()),
@@ -204,11 +228,27 @@ def main():
 
     assert summary["all_finite"], "non-finite loss/grad in trajectory"
     assert summary["skipped_steps"] == 0, "NaN-skip triggered"
-    assert summary["attn_logit_max_peak"] < 80.0, (
-        "attention logits reached the fused-softmax clamp")
     if not small:  # 6 smoke steps can't show a trend
-        assert last_third < first_third, (
-            f"loss did not decrease: {first_third:.4f} -> {last_third:.4f}")
+        # learned: the late trajectory sits well below the init plateau.
+        # (NOT last-third < first-third: the baseline instability recipe
+        # legitimately oscillates late — the first third already contains
+        # the whole initial descent.)
+        assert last_third < 0.8 * init_plateau, (
+            f"loss did not learn: {init_plateau:.4f} -> {last_third:.4f}")
+    if rowmax:
+        # safe softmax: no clamp exists; attn_logit_max is the observable
+        # of the instability under study, not a validity bound.
+        pass
+    else:
+        assert summary["attn_logit_max_peak"] < 80.0, (
+            "legacy clamp form left its exactness envelope")
+    if STABLE and not small:
+        # the stable transforms' claim (reference utils/stable_init.py):
+        # bounded attention logits in the very regime where the baseline
+        # recipe ran away (peak 277.8 in the paired baseline artifact).
+        assert summary["attn_logit_max_peak"] < 80.0, (
+            f"ENABLE_STABLE failed to bound attention logits: "
+            f"{summary['attn_logit_max_peak']}")
     print("CONVERGENCE OK", flush=True)
 
 

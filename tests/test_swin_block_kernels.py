@@ -84,14 +84,17 @@ def test_fused_attn_half_matches_oracle():
                                    rtol=5e-4, atol=5e-4, err_msg=name)
 
 
-def test_fused_attn_grads_at_saturation():
+def test_fused_attn_grads_at_saturation(monkeypatch):
     """Regression for the round-4 convergence-run divergence: the original
     (u, r)-basis backward underflowed r^2 in f32 once a row's sum(exp)
     passed ~1e19 (max logit ~44), silently dropping the softmax projection
     term, and overflowed u*dp to inf past the clamp at 80 (NaN grads).
-    Below the clamp the fused math is EXACT softmax, so grads must match
-    the max-subtracted oracle even at logit ~60; past the clamp they must
-    at least stay finite."""
+
+    With the safe-softmax default (VSN_ATTN_ROWMAX, round 4) the fused
+    grads must match the max-subtracted oracle at EVERY logit scale,
+    including far past the old clamp at 80. The legacy clamp form
+    (VSN_ATTN_ROWMAX=0) must stay exact below the clamp and finite past
+    it."""
     dims, window, shift = (4, 4, 4), (2, 2, 2), (1, 1, 1)
     b, heads, hd = 2, 2, 4
     c = heads * hd
@@ -138,16 +141,27 @@ def test_fused_attn_grads_at_saturation():
         gr = jax.grad(f_ref, argnums=(0, 3, 4))(*args)
         return gf, gr
 
-    # deep-but-unclamped regime: logits ~N(45, 8) -> rows sum(exp) >> 1e19
+    # --- safe-softmax default (VSN_ATTN_ROWMAX on): exact at EVERY scale
+    # deep regime (logit ~45: rows' sum(exp) >> 1e19 unshifted) and the
+    # fully-saturated regime (logit ~200, far past the legacy clamp)
+    for shift in (45.0, 200.0):
+        gf, gr = run(shift, 8.0)
+        for name, a, b_ in zip(("x", "wqkv", "wproj"), gf, gr):
+            assert np.isfinite(np.asarray(a)).all(), f"{name} @ {shift}"
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-3,
+                err_msg=f"{name} @ {shift}")
+
+    # --- legacy clamp form (VSN_ATTN_ROWMAX=0) ---------------------------
+    monkeypatch.setenv("VSN_ATTN_ROWMAX", "0")
+    # below the clamp the thinned math is exact softmax
     gf, gr = run(45.0, 8.0)
     for name, a, b_ in zip(("x", "wqkv", "wproj"), gf, gr):
         assert np.isfinite(np.asarray(a)).all(), name
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-3, atol=2e-3, err_msg=name)
-
-    # fully-saturated regime (past the clamp at 80): the fused softmax
-    # deliberately flattens (DEVIATIONS #3) so values differ from the
-    # oracle, but gradients must never be inf/NaN
+    # past the clamp the forward deliberately flattens (legacy DEVIATIONS
+    # #3) so values differ from the oracle, but grads must stay finite
     gf, _ = run(200.0, 8.0)
     for name, a in zip(("x", "wqkv", "wproj"), gf):
         assert np.isfinite(np.asarray(a)).all(), f"{name} not finite"

@@ -59,6 +59,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vsn_tpu.ops import window_attention as _wa
 from vsn_tpu.ops.window_attention import _mask_from_ids
+from vsn_tpu.utils.flags import env_flag
 
 LN_EPS = 1e-5  # models/layers.py make_norm: nn.LayerNorm(epsilon=1e-5)
 
@@ -173,17 +174,29 @@ def _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt,
     batched 3D dots measured slower than unrolled per-window 2D matmuls.
     ``bias_ref`` may be None (no relative-position bias — the ViT path).
 
-    Softmax runs without the rowwise max-subtract: the [N, N] probability
-    tiles are ~half the per-program VPU cost (3 heads x 252^2 x several
-    passes), and LN-bounded logits never approach the f32 exp range, so a
-    static clamp replaces the max pass and the 1/sum normalization is
-    deferred onto the [N, d] head output (two fewer full [N, N] passes).
-    Algebraically identical: (exp(s) @ v) * r == softmax(s) @ v with
-    r = 1/sum(exp(s)); the clamp only binds for logits > 80, where true
-    softmax is fully saturated anyway. Additive -1e9 masks still flush to
-    exactly exp(-1e9) = 0."""
+    Softmax keeps the "thinning" win — the 1/sum normalization is deferred
+    onto the [N, d] head output instead of a full [N, N] divide pass —
+    algebraically identical: (exp(s) @ v) * r == softmax(s) @ v with
+    r = 1/sum(exp(s)).
+
+    The shift is gated (``softmax_rowmax_active``):
+      * rowmax ON (safe softmax): u = exp(s - max(rowmax(s), 0)). Exact at
+        ANY logit scale — the round-4 convergence run showed the flagship
+        instability recipe drives attn_logit_max to 200+, where the old
+        absolute clamp both flattened saturated rows AND zeroed the
+        gradient that would restore the top logit (d/ds exp(min(s,80)) = 0
+        past 80), de-faithing the training dynamics in exactly the regime
+        this project studies (reference utils/stable_init.py premise).
+        Clamping the shift at 0 keeps fully-masked rows (all -1e9) at
+        u = 0 -> output 0, byte-identical to the clamp form, and costs one
+        [N, N] rowwise max-reduce per head (the subtract fuses into the
+        exp pass).
+      * rowmax OFF: the round-2/3 absolute clamp u = exp(min(s, 80)) — one
+        fewer [N, N] pass; exact only while logits stay below 80.
+    Additive -1e9 masks flush to exactly exp(-1e9) = 0 in both forms."""
     c = qkv.shape[-1] // 3
     d = c // n_heads
+    rowmax = softmax_rowmax_active()
     outs, probs = [], []
     for h in range(n_heads):
         q = qkv[:, h * d:(h + 1) * d].astype(cdt)
@@ -194,7 +207,11 @@ def _heads_attention_fwd(qkv, bias_ref, mask, scale, n_heads, cdt,
             s = s + mask
         if bias_ref is not None:
             s = s + bias_ref[h]
-        u = jnp.exp(jnp.minimum(s, 80.0))
+        if rowmax:
+            m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), 0.0)
+            u = jnp.exp(s - m)
+        else:
+            u = jnp.exp(jnp.minimum(s, 80.0))
         # +1e-30 (far below f32 epsilon of any real row sum, so bitwise
         # inert there) keeps r finite if EVERY logit in a row underflows
         # exp() — possible only with unbounded inputs (post-norm reads the
@@ -425,6 +442,23 @@ def _attn_bwd_kernel(gb_ref, ids_ref, x_ref, lng_ref, lnb_ref, wqkv_ref,
         dlnb_ref[0] += db
     dx_ref[...] = (lam * do_res + dx).reshape(x_ref.shape).astype(
         dx_ref.dtype)
+
+
+def softmax_rowmax_active() -> bool:
+    """VSN_ATTN_ROWMAX gate: safe softmax (rowmax-subtracted exp) in the
+    fused attention kernels instead of the absolute clamp at 80.
+
+    Default ON — a correctness default, not a perf one: the round-4
+    convergence run (artifacts/convergence_swin5c_saturated.jsonl) showed
+    the flagship instability recipe reaches attn_logit_max 200+ within 400
+    steps, where the clamp form both flattens the forward and zeroes the
+    restoring gradient on the top logit. Exactness at saturation is this
+    project's subject matter (reference utils/stable_init.py, SURVEY §2.1
+    #24); the extra rowwise max-reduce was measured at the step level
+    (see BASELINE.md round-4 entry) before keeping the default.
+    """
+    flag = env_flag("VSN_ATTN_ROWMAX")
+    return True if flag is None else flag
 
 
 def attn_window_batch(n_windows: int, nsamp: int, n: int, c: int,
