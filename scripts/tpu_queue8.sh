@@ -57,6 +57,8 @@ run rowmax_on env VSN_BENCH_VERBOSE=1 python bench.py
 
 run rowmax_off env VSN_ATTN_ROWMAX=0 VSN_BENCH_VERBOSE=1 python bench.py
 
+run step_trace python scripts/perf_trace_model.py Step
+
 run convergence timeout 7200 python scripts/convergence_run.py
 
 run convergence_stable env VSN_CONV_STABLE=1 \
