@@ -50,6 +50,7 @@ _SLOW_NODEID_PREFIXES = (
     "test_multichip_contract.py",
     "test_packed_windows.py::test_padded_stage_fused_matches_unfused",
     "test_patch_embed_zconv.py::test_zconv_matches_conv",
+    "test_protocol_rehearsal.py",
     "test_resident.py::test_train_step_resident_equals_host",
     "test_resnet_medvit.py::test_medvit_forward",
     "test_resnet_medvit.py::test_resnet18_forward_with_bn",
