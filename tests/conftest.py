@@ -47,6 +47,7 @@ _SLOW_NODEID_PREFIXES = (
     "test_conv_unfold.py::test_medvit_dwconv_shift_matches_conv_path",
     "test_determinism.py::test_same_seed_identical_trajectory",
     "test_evaluate_e2e.py",
+    "test_golden_parity.py",
     "test_multichip_contract.py",
     "test_packed_windows.py::test_padded_stage_fused_matches_unfused",
     "test_patch_embed_zconv.py::test_zconv_matches_conv",

@@ -13,8 +13,9 @@ Mirrors /root/reference/scripts/transformer_folds.sh +
 
 Every stage is covered individually elsewhere (test_trainer_e2e,
 test_evaluate_e2e, test_viz_calibrate, test_tracking_results); this test
-proves the *composition*. It is the slowest test in the suite (~10 min on
-the 1-vCPU host) and is marked slow via the conftest nodeid prefix list.
+proves the *composition*. It is the slowest test in the suite (~6 min
+measured end-to-end on the 1-vCPU host) and is marked slow via the
+conftest nodeid prefix list.
 """
 
 import subprocess

@@ -16,7 +16,12 @@ MODEL_PRESETS = ("Swin", "SwinDPL", "MedViT", "ViT", "ResNet")
 def model_dtype(cfg):
     """bf16 compute when FP16 (mixed precision) is on — TPU-native choice
     replacing the reference's fp16 + GradScaler (train_transformer.py:1065-1072).
-    Params always stay f32."""
+    Params always stay f32. FP64 is a CPU-only oracle mode used by the
+    golden cross-framework parity harness (scripts/golden_parity.py):
+    BN-at-init grad comparisons are ill-conditioned in f32, so the
+    reference-equivalence proof runs both frameworks in f64."""
+    if cfg.get("FP64", False):
+        return jnp.float64
     return jnp.bfloat16 if cfg.get("FP16", True) else jnp.float32
 
 

@@ -15,6 +15,7 @@ scalar dict per step.
 from __future__ import annotations
 
 import logging
+import os
 import time
 import uuid
 from pathlib import Path
@@ -41,6 +42,7 @@ from vsn_tpu.train.step import (
     make_eval_step,
     make_train_step,
 )
+from vsn_tpu.utils import flags
 from vsn_tpu.utils import rng as rnglib
 from vsn_tpu.utils.tracking import Tracker
 
@@ -332,6 +334,17 @@ def train_fold(
                           probe_model=val_probe)
 
     # ----- bookkeeping -----------------------------------------------------
+    # Tunnel-environment knobs (both default to exact reference parity):
+    #   VSN_CKPT_LAST_EVERY=N  — save the 'last' resume checkpoint every Nth
+    #     validation instead of every one. The reference saves on every
+    #     validation (train_transformer.py:1364-1375) to LOCAL disk; on this
+    #     host the device->host fetch crosses a ~4 MB/s tunnel where a full
+    #     Swin-T state (params+opt+EMA, ~0.7 GB) costs minutes per save.
+    #   VSN_BESTN_EVAL_ONLY=1  — best-N payloads carry only the eval
+    #     variables (what the TTA-eval -> ensemble -> calibration chain
+    #     consumes), not the full resume state the reference also stores.
+    ckpt_last_every = max(1, int(os.environ.get("VSN_CKPT_LAST_EVERY", 1)))
+    bestn_eval_only = bool(flags.env_flag("VSN_BESTN_EVAL_ONLY"))
     history: dict[str, list] = {}
     saver = ckpt.AsyncCheckpointSaver(max_queue=3)
     keep_n = cfg.KEEP_BEST_N if cfg.KEEP_BEST_N else 1
@@ -421,7 +434,10 @@ def train_fold(
         step = int(state.step)
 
         if step % val_freq == 0 or step == total_steps:
+            t_val0 = time.perf_counter()
             val_metrics, _, _ = validator(eval_params())
+            t_val = time.perf_counter() - t_val0
+            val_count = step // val_freq
             row = {
                 "step": step,
                 "train_loss": float(train_m["loss"]),
@@ -437,6 +453,34 @@ def train_fold(
                    or (k == "attn_logit_max" and np.isfinite(float(v)))},
                 **{f"val_{k}": v for k, v in val_metrics.items()},
             }
+
+            # last checkpoint (resume point); submit() does the
+            # device->host fetch synchronously (donation safety), so its
+            # time is the checkpoint overhead — recorded per event.
+            t_ckpt = 0.0
+            if (step == total_steps
+                    or val_count % ckpt_last_every == 0):
+                t_c0 = time.perf_counter()
+                saver.submit(
+                    save_dir / f"model_{run_id}_{fold}_last.ckpt",
+                    checkpoint_payload(), checkpoint_meta(step, val_metrics),
+                )
+                t_ckpt += time.perf_counter() - t_c0
+            # best-N rotation on METRIC_BEST_MODEL
+            best_metric_val = val_metrics[best_tracker.metric_name]
+            idx = best_tracker.consider(best_metric_val, step)
+            if idx is not None:
+                t_c0 = time.perf_counter()
+                payload = ({"variables": eval_params()} if bestn_eval_only
+                           else {"state": state, "variables": eval_params()})
+                best_tracker.insert(
+                    idx, best_metric_val, step, saver, payload,
+                    checkpoint_meta(step, val_metrics),
+                )
+                t_ckpt += time.perf_counter() - t_c0
+            row["val_wall_s"] = round(t_val, 3)
+            if t_ckpt:
+                row["ckpt_wall_s"] = round(t_ckpt, 3)
             for k, v in row.items():
                 history.setdefault(k, []).append(v)
             tracker.log(row, step=step)
@@ -445,21 +489,6 @@ def train_fold(
                 step, total_steps, row["train_loss"], row["val_loss"],
                 row["val_bacc"],
             )
-
-            # last checkpoint (resume point)
-            saver.submit(
-                save_dir / f"model_{run_id}_{fold}_last.ckpt",
-                checkpoint_payload(), checkpoint_meta(step, val_metrics),
-            )
-            # best-N rotation on METRIC_BEST_MODEL
-            best_metric_val = val_metrics[best_tracker.metric_name]
-            idx = best_tracker.consider(best_metric_val, step)
-            if idx is not None:
-                best_tracker.insert(
-                    idx, best_metric_val, step, saver,
-                    {"state": state, "variables": eval_params()},
-                    checkpoint_meta(step, val_metrics),
-                )
 
             # early stopping
             es_val = val_metrics[es_metric]
