@@ -117,6 +117,20 @@ class Validator:
 
         self._probe = None
         if probe_model is not None:
+            # The unfused probe materializes the f32 [nW, heads, N, N]
+            # attention tensors the fused kernels exist to avoid; at the
+            # full EVAL_BATCH_SIZE that graph failed to COMPILE on v5e
+            # (16.23G > 15.75G HBM, 2026-08-20 fold run) alongside the
+            # resident store. attn_logit_max is a monitoring observable,
+            # not a metric over the cohort — a small fixed slice of the
+            # first batch is enough, so bound the probe batch (env
+            # VSN_PROBE_BATCH, default 8, rounded to a mesh multiple).
+            want = int(os.environ.get("VSN_PROBE_BATCH", "8") or 8)
+            self._probe_batch = min(
+                meshlib.pad_batch_to_multiple(max(1, want), mesh.size),
+                meshlib.pad_batch_to_multiple(eval_batch, mesh.size),
+            )
+
             def probe_fwd(variables, images):
                 _, inter = probe_model.apply(
                     variables, images, True, mutable=["intermediates"],
@@ -153,14 +167,21 @@ class Validator:
                 local_idx = self.pipeline.local_slice(idx).astype(np.int32)
                 sharded = meshlib.shard_eval_batch(local_idx, self.mesh)
                 if self._probe is not None and attn_max is None:
-                    attn_max = self._probe(variables, sharded, self.resident)
+                    probe_idx = meshlib.shard_eval_batch(
+                        local_idx[: self._probe_batch], self.mesh
+                    )
+                    attn_max = self._probe(
+                        variables, probe_idx, self.resident
+                    )
                 dev = self._run_idx(variables, sharded, self.resident)
             else:
-                images = meshlib.shard_eval_batch(
-                    np.asarray(images), self.mesh
-                )
+                images = np.asarray(images)
                 if self._probe is not None and attn_max is None:
-                    attn_max = self._probe(variables, images)
+                    probe_images = meshlib.shard_eval_batch(
+                        images[: self._probe_batch], self.mesh
+                    )
+                    attn_max = self._probe(variables, probe_images)
+                images = meshlib.shard_eval_batch(images, self.mesh)
                 dev = self._run(variables, images)
             if pending is not None:
                 probs_all.append(fetch_global(pending[0])[pending[1]])
@@ -392,7 +413,9 @@ def train_fold(
             "fold": fold,
             "step": step,
             "sampler_epoch": pipe.epoch,
-            "history": history,
+            # snapshot, not a live reference: the async saver may hold
+            # this meta past the next history append
+            "history": {k: list(v) for k, v in history.items()},
             "es_best": es_best,
             "es_best_step": es_best_step,
             "val_metrics": val_metrics,
@@ -454,6 +477,15 @@ def train_fold(
                 **{f"val_{k}": v for k, v in val_metrics.items()},
             }
 
+            # History must include THIS row before the 'last' checkpoint
+            # is written: its meta snapshots history, and a resume from
+            # step N replays validations from that snapshot (a post-save
+            # append loses the step-N row across resume — caught by
+            # tests/test_trainer_e2e.py::test_resume_from_checkpoint).
+            row["val_wall_s"] = round(t_val, 3)
+            for k, v in row.items():
+                history.setdefault(k, []).append(v)
+
             # last checkpoint (resume point); submit() does the
             # device->host fetch synchronously (donation safety), so its
             # time is the checkpoint overhead — recorded per event.
@@ -478,11 +510,10 @@ def train_fold(
                     checkpoint_meta(step, val_metrics),
                 )
                 t_ckpt += time.perf_counter() - t_c0
-            row["val_wall_s"] = round(t_val, 3)
             if t_ckpt:
                 row["ckpt_wall_s"] = round(t_ckpt, 3)
-            for k, v in row.items():
-                history.setdefault(k, []).append(v)
+                history.setdefault("ckpt_wall_s", []).append(
+                    row["ckpt_wall_s"])
             tracker.log(row, step=step)
             log.info(
                 "step %d/%d loss %.4f val_loss %.4f val_bacc %.4f",
