@@ -121,7 +121,11 @@ def main():
         str(p) for p in (WORK / "runs").glob("model_silicon_*_best*.ckpt"))
     if best_ckpts:
         pred_dir = WORK / "runs" / "predictions"
-        env = dict(os.environ, PYTHONPATH=str(REPO))
+        # PREPEND to PYTHONPATH — replacing it drops /root/.axon_site
+        # (the sitecustomize that registers the axon TPU backend), which
+        # kills the child with "Unable to initialize backend 'axon'".
+        env = dict(os.environ, PYTHONPATH=":".join(
+            p for p in (str(REPO), os.environ.get("PYTHONPATH", "")) if p))
         tta_flag = [] if small else ["--use-tta"]
         t = time.time()
         subprocess.run(

@@ -18,6 +18,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 from pathlib import Path
 
 import numpy as np
@@ -86,6 +87,21 @@ class Evaluator:
                 or cfg.BATCH_SIZE),
             self.mesh.size,
         )
+        if use_tta and batch_size is None:
+            # TTA expands each volume into 8 views, so the underlying
+            # batch is NOT the eval knee: batch 8 already yields the 64
+            # effective rows where plain eval saturates, throughput is
+            # FLAT in batch (32.5/32.2/32.4 vol/s at 8/16/32 — BASELINE
+            # round-5 sweep), and EVAL_BATCH_SIZE=64 fails to compile at
+            # production geometry (512 full-size views, 21.9G > 15.75G
+            # HBM). Cap unless --batch-size is explicit.
+            self.batch_size = min(
+                self.batch_size,
+                meshlib.pad_batch_to_multiple(
+                    int(os.environ.get("VSN_TTA_BATCH", "8") or 8),
+                    self.mesh.size,
+                ),
+            )
         transform = build_eval_transform(cfg)
         self.use_tta = use_tta
         self.rng = jax.random.key(seed)
