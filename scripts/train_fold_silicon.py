@@ -92,6 +92,13 @@ def main():
             WINDOW_SIZE=[4, 4, 4], LR_WARMUP=2, WD_WARMUP=2,
             EARLY_STOPPING_PATIENCE=False,
         )
+    # VSN_FOLD_STABLE=1: the DSLM arm (reference utils/stable_init.py)
+    # through the SAME fold — pairs against the baseline run's
+    # attn_logit_max trajectory at production trainer scale.
+    stable = bool(os.environ.get("VSN_FOLD_STABLE"))
+    run_id = "silicon_stable" if stable else "silicon"
+    if stable:
+        overrides.update(ENABLE_STABLE=True)
     cfg = load_config("vsn_tpu/configs/swin-5c-no_seed-baseline.yaml",
                       extra_overrides=overrides)
 
@@ -104,7 +111,7 @@ def main():
         csv_dir=str(WORK / "id" / "folds"),
         save_dir=str(WORK / "runs"),
         cache_dir=str(WORK / "cache"),
-        run_id="silicon",
+        run_id=run_id,
     )
     t_train = time.time() - t1
 
@@ -117,8 +124,8 @@ def main():
 
     t2 = time.time()
     eval_times = {}
-    best_ckpts = sorted(
-        str(p) for p in (WORK / "runs").glob("model_silicon_*_best*.ckpt"))
+    best_ckpts = [] if stable else sorted(
+        str(p) for p in (WORK / "runs").glob(f"model_{run_id}_*_best*.ckpt"))
     if best_ckpts:
         pred_dir = WORK / "runs" / "predictions"
         # PREPEND to PYTHONPATH — replacing it drops /root/.axon_site
@@ -189,13 +196,14 @@ def main():
         },
         "config": {k: overrides[k] for k in sorted(overrides)},
     }
-    out = REPO / "artifacts" / "fold_silicon_summary.json"
+    arm = "_stable" if stable else ""
+    out = REPO / "artifacts" / f"fold_silicon{arm}_summary.json"
     out.parent.mkdir(exist_ok=True)
     out.write_text(json.dumps(summary, indent=1, default=str))
     metrics_src = Path(result["run_dir"]) / "metrics.jsonl"
     if metrics_src.exists() and not small:
         shutil.copy(metrics_src,
-                    REPO / "artifacts" / "fold_silicon_metrics.jsonl")
+                    REPO / "artifacts" / f"fold_silicon{arm}_metrics.jsonl")
     print(json.dumps(summary, default=str), flush=True)
     print("FOLD SILICON OK", flush=True)
 
