@@ -377,6 +377,27 @@ def _compare(name, torch_model, overrides, port_fn, img, report, batch=2,
         jax.config.update("jax_enable_x64", True)
         torch_model = torch_model.double()
         overrides = dict(overrides, FP64=True)
+    try:
+        return _compare_inner(name, torch_model, overrides, port_fn, img,
+                              report, batch, f64, np_dtype)
+    finally:
+        # x64 is a GLOBAL flag: leaking it poisons every later jit in the
+        # process (Python ints become int64 — Pallas index maps and optax
+        # comparisons fail; 27 kernel tests broke when the full suite ran
+        # these checks before them, 2026-08-20).
+        if f64:
+            jax.config.update("jax_enable_x64", False)
+
+
+def _compare_inner(name, torch_model, overrides, port_fn, img, report,
+                   batch, f64, np_dtype):
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from vsn_tpu.config import load_config
+    from vsn_tpu.models import build_model
 
     cfg = load_config(extra_overrides=overrides)
     jm = build_model(cfg)
