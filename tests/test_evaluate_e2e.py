@@ -132,3 +132,29 @@ def test_filter_synthetic_and_dedup():
     # missing Subject column passes through
     empty = pd.DataFrame({"a": [1]})
     assert filter_synthetic(empty).equals(empty)
+
+
+def test_tta_batch_capped_at_flat_point(monkeypatch):
+    """--use-tta caps the underlying batch (8x views: batch 64 = 512
+    full-size dispatch rows, which failed to COMPILE at production
+    geometry — BASELINE round 5). Explicit batch_size bypasses the cap."""
+    import jax
+
+    from vsn_tpu.eval.evaluate import Evaluator
+    from vsn_tpu.models import build_model
+
+    cfg = load_config(extra_overrides=dict(
+        ARCHITECTURE="ViT", IMG_SIZE=[16, 20, 16], RESHAPE_SIZE=False,
+        PATCH_SHAPE=[4, 4, 4], EMBED_DIM=48, DEPTH=1, HEADS=2,
+        DISEASES=["CN", "AD"], BATCH_SIZE=4, EVAL_BATCH_SIZE=64,
+    ))
+    model = build_model(cfg)
+    n_dev = len(jax.devices())
+    plain = Evaluator(cfg, model, use_tta=False)
+    tta = Evaluator(cfg, model, use_tta=True)
+    explicit = Evaluator(cfg, model, use_tta=True, batch_size=32)
+    assert plain.batch_size == 64
+    assert tta.batch_size == max(8, n_dev)  # capped at VSN_TTA_BATCH=8
+    assert explicit.batch_size == 32  # explicit wins over the cap
+    monkeypatch.setenv("VSN_TTA_BATCH", "16")
+    assert Evaluator(cfg, model, use_tta=True).batch_size == max(16, n_dev)
