@@ -46,8 +46,10 @@ def grad_time(name, module, x, n=6):
     consts = {k: v for k, v in variables.items() if k != "params"}
 
     def loss(p, xx):
+        # deterministic=False: TRAIN-mode BN, matching the train step
+        # whose cost these components decompose.
         out = module.apply(
-            {"params": p, **consts}, xx, True,
+            {"params": p, **consts}, xx, False,
             mutable=[k for k in consts],
         )[0]
         return out.astype(jnp.float32).sum()

@@ -45,7 +45,9 @@ def grad_time(name, module, x, floor_bytes, n=6, warmup=2):
     consts = {k: v for k, v in variables.items() if k != "params"}
 
     def loss(p, xx):
-        out = module.apply({"params": p, **consts}, xx, True,
+        # deterministic=False: TRAIN-mode BN (batch moments + their
+        # backward correlation terms), matching the step being decomposed.
+        out = module.apply({"params": p, **consts}, xx, False,
                            mutable=list(consts))[0]
         return out.astype(jnp.float32).sum()
 

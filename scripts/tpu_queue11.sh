@@ -12,11 +12,16 @@
 set -u
 cd "$(dirname "$0")/.."
 
-for i in $(seq 1 1440); do
-    if grep -q "QUEUE10 COMPLETE" /tmp/tpu_queue_status.log 2>/dev/null; then
-        break
+waited=0
+until grep -q "QUEUE10 COMPLETE" /tmp/tpu_queue_status.log 2>/dev/null; do
+    if [ "$waited" -ge 14400 ]; then
+        # NEVER fall through to TPU work: the predecessor may still hold
+        # the chip (two TPU processes crash the tunnel — CLAUDE.md).
+        echo "QUEUE11 ABORT: queue10 never completed" \
+            | tee -a /tmp/tpu_queue_status.log
+        exit 1
     fi
-    sleep 10
+    sleep 10; waited=$((waited + 10))
 done
 
 run() {

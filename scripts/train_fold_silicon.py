@@ -95,7 +95,9 @@ def main():
     # VSN_FOLD_STABLE=1: the DSLM arm (reference utils/stable_init.py)
     # through the SAME fold — pairs against the baseline run's
     # attn_logit_max trajectory at production trainer scale.
-    stable = bool(os.environ.get("VSN_FOLD_STABLE"))
+    from vsn_tpu.utils.flags import env_flag
+
+    stable = env_flag("VSN_FOLD_STABLE") is True  # '0'/'off' really mean off
     run_id = "silicon_stable" if stable else "silicon"
     if stable:
         overrides.update(ENABLE_STABLE=True)
@@ -124,8 +126,11 @@ def main():
 
     t2 = time.time()
     eval_times = {}
+    # [0-9] pins the fold segment: a bare '*' after run_id 'silicon' would
+    # also match the stable arm's 'model_silicon_stable_0_best*.ckpt'.
     best_ckpts = [] if stable else sorted(
-        str(p) for p in (WORK / "runs").glob(f"model_{run_id}_*_best*.ckpt"))
+        str(p)
+        for p in (WORK / "runs").glob(f"model_{run_id}_[0-9]*_best*.ckpt"))
     if best_ckpts:
         pred_dir = WORK / "runs" / "predictions"
         # PREPEND to PYTHONPATH — replacing it drops /root/.axon_site

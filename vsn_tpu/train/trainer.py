@@ -140,15 +140,21 @@ class Validator:
                 return (jnp.max(jnp.stack(sown)) if sown
                         else jnp.float32(-jnp.inf))
 
+            pb = self._probe_batch
             if resident is not None:
                 self._probe = jax.jit(
                     lambda variables, idx, res: probe_fwd(
                         variables, idx_tfm(gather_volumes(res, idx)))
                 )
             else:
+                # Slice INSIDE the jit: the full batch is already (or about
+                # to be) on device for the eval step — a host-side slice
+                # would ship the probe volumes over the host->device link a
+                # second time. XLA sizes the probe activations by the
+                # static [:pb] slice, so the HBM bound is unaffected.
                 self._probe = jax.jit(
                     lambda variables, images: probe_fwd(
-                        variables, transform(images))
+                        variables, transform(images[:pb]))
                 )
 
     def __call__(self, variables) -> tuple[dict, np.ndarray, np.ndarray]:
@@ -175,13 +181,11 @@ class Validator:
                     )
                 dev = self._run_idx(variables, sharded, self.resident)
             else:
-                images = np.asarray(images)
+                images = meshlib.shard_eval_batch(
+                    np.asarray(images), self.mesh
+                )
                 if self._probe is not None and attn_max is None:
-                    probe_images = meshlib.shard_eval_batch(
-                        images[: self._probe_batch], self.mesh
-                    )
-                    attn_max = self._probe(variables, probe_images)
-                images = meshlib.shard_eval_batch(images, self.mesh)
+                    attn_max = self._probe(variables, images)
                 dev = self._run(variables, images)
             if pending is not None:
                 probs_all.append(fetch_global(pending[0])[pending[1]])
@@ -477,14 +481,20 @@ def train_fold(
                 **{f"val_{k}": v for k, v in val_metrics.items()},
             }
 
-            # History must include THIS row before the 'last' checkpoint
-            # is written: its meta snapshots history, and a resume from
-            # step N replays validations from that snapshot (a post-save
-            # append loses the step-N row across resume — caught by
-            # tests/test_trainer_e2e.py::test_resume_from_checkpoint).
+            # History AND the early-stopping best must reflect THIS
+            # validation before the 'last' checkpoint is written: its meta
+            # snapshots both, and a resume from step N replays from that
+            # snapshot (a post-save update loses the step-N row / lets a
+            # stale es_best_step inflate the patience counter across
+            # resume — caught by tests/test_trainer_e2e.py resume tests).
             row["val_wall_s"] = round(t_val, 3)
             for k, v in row.items():
                 history.setdefault(k, []).append(v)
+            es_val = val_metrics[es_metric]
+            if es_best is None or M.is_improvement(
+                es_metric, es_val, es_best, es_min_delta
+            ):
+                es_best, es_best_step = es_val, step
 
             # last checkpoint (resume point); submit() does the
             # device->host fetch synchronously (donation safety), so its
@@ -521,13 +531,9 @@ def train_fold(
                 row["val_bacc"],
             )
 
-            # early stopping
-            es_val = val_metrics[es_metric]
-            if es_best is None or M.is_improvement(
-                es_metric, es_val, es_best, es_min_delta
-            ):
-                es_best, es_best_step = es_val, step
-            elif es_patience and (step - es_best_step) >= int(es_patience):
+            # early stopping (the best-update happened above, pre-save)
+            if (es_patience and es_best_step != step
+                    and (step - es_best_step) >= int(es_patience)):
                 log.info("early stopping at step %d (best %s=%.4f @ %d)",
                          step, es_metric, es_best, es_best_step)
                 stopped_early = True
