@@ -202,6 +202,8 @@ def main():
         "config": {k: overrides[k] for k in sorted(overrides)},
     }
     arm = "_stable" if stable else ""
+    if small:
+        arm += "_smoke"  # never clobber the committed silicon artifacts
     out = REPO / "artifacts" / f"fold_silicon{arm}_summary.json"
     out.parent.mkdir(exist_ok=True)
     out.write_text(json.dumps(summary, indent=1, default=str))
